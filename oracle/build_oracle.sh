@@ -1,0 +1,81 @@
+#!/bin/bash
+# Build the C reference (wexiangis/wmix, mounted read-only at /root/reference)
+# into parity-oracle shared libraries used ONLY by the test suite.
+#
+# Nothing from the reference is copied into this repo: its sources are
+# compiled in place from $REF, and all build artifacts land in $ORACLE
+# (gitignored).  The engine geometry (WMIX_CHN/WMIX_FREQ) is a compile-time
+# constant in the reference, so one .so is produced per geometry:
+#
+#   $ORACLE/liboracle_<chn>x<freq>.so
+#
+# each containing the full reference core (null HAL), the vendored webrtc
+# DSP modules, codec libs, and the flat-C shim from shim.c.
+set -e
+
+REF=${REF:-/root/reference}
+HERE="$(cd "$(dirname "$0")" && pwd)"
+ORACLE=${ORACLE:-$(dirname "$HERE")/.oracle}
+INSTALL=$ORACLE/install
+GEOMETRIES=${GEOMETRIES:-"1x8000 1x16000 2x16000 1x32000 2x44100"}
+
+mkdir -p "$ORACLE" "$INSTALL/lib" "$INSTALL/include"
+cd "$ORACLE"
+
+# ---- 1. vendored webrtc DSP modules (vad/ns/aec/aecm/agc) ----
+if [ ! -f "$INSTALL/lib/libwebrtcvad.so" ]; then
+  tar -xzf "$REF/pkg/webrtc_cut.tar.gz"
+  ( cd webrtc_cut
+    for s in vad ns aec aecm agc; do bash ./build_${s}_so.sh gcc; done
+    cp -r install/* "$INSTALL/" )
+  rm -rf webrtc_cut
+fi
+
+# ---- 2. libmad (mp3 decode) ----
+if [ ! -f "$INSTALL/lib/libmad.so" ]; then
+  tar -xzf "$REF/pkg/libmad-0.15.1b.tar.gz"
+  ( cd libmad-0.15.1b
+    ./configure --prefix="$INSTALL" --enable-speed
+    sed -i 's/-fforce-mem//g' Makefile
+    make -j8 && make install )
+  rm -rf libmad-0.15.1b
+fi
+
+# ---- 3. libfaac (aac encode) ----
+if [ ! -f "$INSTALL/lib/libfaac.so" ]; then
+  tar -xzf "$REF/pkg/faac-1.29.9.2.tar.gz"
+  ( cd faac-1.29.9.2 && ./configure --prefix="$INSTALL" && make -j8 && make install )
+  rm -rf faac-1.29.9.2
+fi
+
+# ---- 4. libfaad2 (aac decode) ----
+if [ ! -f "$INSTALL/lib/libfaad.so" ]; then
+  tar -xzf "$REF/pkg/faad2-2.8.8.tar.gz"
+  ( cd faad2-2.8.8 && ./configure --prefix="$INSTALL" && make -j8 && make install )
+  rm -rf faad2-2.8.8
+fi
+
+# ---- 5. reference core + shim, one .so per engine geometry ----
+for geom in $GEOMETRIES; do
+  chn=${geom%x*}
+  freq=${geom#*x}
+  out="$ORACLE/liboracle_${chn}x${freq}.so"
+  [ -f "$out" ] && continue
+  gcc -fPIC -shared -o "$out" \
+    "$REF"/src/wmix.c "$REF"/src/wmixTask.c "$REF"/src/wmixMem.c \
+    "$REF"/src/wav.c "$REF"/src/delay.c "$REF"/src/g711codec.c \
+    "$REF"/src/rtp.c "$REF"/src/webrtc.c "$REF"/src/mp3Type.c \
+    "$REF"/src/aacType.c "$REF"/src/speexType.c "$REF"/math/fft.c \
+    "$HERE"/plat_oracle/plat.c "$HERE"/shim.c \
+    -I"$HERE"/plat_oracle -I"$REF"/src -I"$REF"/math -I"$INSTALL"/include \
+    -L"$INSTALL"/lib -Wl,-rpath,"$INSTALL"/lib \
+    -DORACLE_CHN="$chn" -DORACLE_FREQ="$freq" \
+    -DMAKE_MP3=1 -DMAKE_AAC=1 -DMAKE_WEBRTC_VAD=1 -DMAKE_WEBRTC_AEC=1 \
+    -DMAKE_WEBRTC_NS=1 -DMAKE_WEBRTC_AGC=1 -DMAKE_SPEEX=0 -DMAKE_SPEEX_BETA3=0 \
+    -DMAKE_MATH_FFT=1024 -DMAKE_MATH_UI=0 \
+    -lwebrtcvad -lwebrtcaec -lwebrtcaecm -lwebrtcns -lwebrtcagc \
+    -lmad -lfaac -lfaad -lm -lpthread
+  echo "built $out"
+done
+
+echo "oracle build complete"

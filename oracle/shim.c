@@ -1,0 +1,156 @@
+/*
+ * Oracle shim: flat-C entry points over the reference core so the pytest
+ * parity suite can drive it via ctypes.  Compiled together with the
+ * reference sources (read from /root/reference, never copied) at a given
+ * engine geometry (see build_oracle.sh / plat_oracle/plat.h).
+ *
+ * Reference entry points exercised:
+ *   - wmix_load_data (the mixer hot loop, src/wmix.c:1639)
+ *   - wmix_pcm_zoom / wmix_len_of_* (resampler, src/wmix.c:49-222)
+ *   - mp3 decode via libmad (same driver pattern as src/wmixTask.c:2022)
+ */
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <stdint.h>
+
+#include "wmix.h"
+
+/* geometry probe: {chn, sample, freq, aec_intervalms, view_play_correct,
+ *                  buff_size, pkg_size, frame_num} */
+void shim_geometry(int32_t out[8])
+{
+    out[0] = WMIX_CHN;
+    out[1] = WMIX_SAMPLE;
+    out[2] = WMIX_FREQ;
+    out[3] = AEC_INTERVALMS;
+    out[4] = VIEW_PLAY_CORRECT;
+    out[5] = WMIX_BUFF_SIZE;
+    out[6] = WMIX_PKG_SIZE;
+    out[7] = WMIX_FRAME_NUM;
+}
+
+/*
+ * Drive wmix_load_data against a caller-provided ring buffer.
+ *
+ *   ring        : uint8[WMIX_BUFF_SIZE + 4], caller-owned ring state
+ *   headOff     : byte offset of this stream's write head into ring,
+ *                 or -1 to pass a NULL head (first call)
+ *   wmixHeadOff : byte offset of the daemon's play-write head (wmix->head)
+ *   wmixTick    : daemon's global tick (wmix->tick)
+ *   reduceMode  : current global background-reduce mode (wmix->reduceMode)
+ *   src,srcLen  : source PCM bytes
+ *   freq,chn,sample,reduce : stream format + its own reduce setting
+ *   tick        : in/out, this stream's tick
+ *   returns new headOff (byte offset into ring), or -2 on early return
+ */
+int64_t shim_load_data(
+    uint8_t *ring,
+    int64_t headOff, uint32_t wmixHeadOff, uint32_t wmixTick,
+    uint8_t reduceMode,
+    uint8_t *src, uint32_t srcLen,
+    uint16_t freq, uint8_t chn, uint8_t sample, uint8_t reduce,
+    uint32_t *tick)
+{
+    WMix_Struct w;
+    WMix_Point srcP, headP, ret;
+
+    memset(&w, 0, sizeof(w));
+    w.run = true;
+    w.buff = ring;
+    w.start.U8 = ring;
+    w.end.U8 = ring + WMIX_BUFF_SIZE;
+    w.head.U8 = ring + wmixHeadOff;
+    w.tail.U8 = ring + WMIX_BUFF_SIZE;
+    w.tick = wmixTick;
+    w.reduceMode = reduceMode;
+
+    srcP.U8 = src;
+    headP.U8 = (headOff < 0) ? NULL : ring + headOff;
+
+    ret = wmix_load_data(&w, srcP, srcLen, freq, chn, sample, headP, reduce, tick);
+    if (!ret.U8)
+        return -2;
+    return (int64_t)(ret.U8 - ring);
+}
+
+/* ---------------- mp3 decode oracle (libmad driver) ---------------- */
+#if (MAKE_MP3)
+#include <mad.h>
+
+typedef struct
+{
+    const uint8_t *data;
+    size_t len;
+    int16_t *out;
+    size_t outCap;   /* in samples */
+    size_t outLen;   /* in samples (interleaved) */
+    uint32_t freq;
+    uint16_t chn;
+    int done;
+} ShimMp3;
+
+static enum mad_flow shim_mp3_input(void *data, struct mad_stream *stream)
+{
+    ShimMp3 *m = (ShimMp3 *)data;
+    if (m->done)
+        return MAD_FLOW_STOP;
+    m->done = 1;
+    mad_stream_buffer(stream, m->data, m->len);
+    return MAD_FLOW_CONTINUE;
+}
+
+/* round to 16 bits exactly as the reference does (src/wmixTask.c:1837-1845) */
+static int16_t shim_mad_scale(mad_fixed_t sample)
+{
+    sample += (1L << (MAD_F_FRACBITS - 16));
+    if (sample >= MAD_F_ONE)
+        sample = MAD_F_ONE - 1;
+    else if (sample < -MAD_F_ONE)
+        sample = -MAD_F_ONE;
+    return sample >> (MAD_F_FRACBITS + 1 - 16);
+}
+
+static enum mad_flow shim_mp3_output(void *data,
+                                     struct mad_header const *header,
+                                     struct mad_pcm *pcm)
+{
+    ShimMp3 *m = (ShimMp3 *)data;
+    unsigned int i;
+    (void)header;
+    m->freq = pcm->samplerate;
+    m->chn = pcm->channels;
+    for (i = 0; i < pcm->length; i++)
+    {
+        if (m->outLen + pcm->channels > m->outCap)
+            return MAD_FLOW_STOP;
+        m->out[m->outLen++] = shim_mad_scale(pcm->samples[0][i]);
+        if (pcm->channels == 2)
+            m->out[m->outLen++] = shim_mad_scale(pcm->samples[1][i]);
+    }
+    return MAD_FLOW_CONTINUE;
+}
+
+static enum mad_flow shim_mp3_error(void *data, struct mad_stream *stream,
+                                    struct mad_frame *frame)
+{
+    (void)data; (void)stream; (void)frame;
+    return MAD_FLOW_CONTINUE;
+}
+
+/* decode an mp3 buffer to int16 PCM; returns sample count, fills freq/chn */
+int64_t shim_mp3_decode(const uint8_t *data, int64_t len,
+                        int16_t *out, int64_t outCap,
+                        uint32_t *freq, uint16_t *chn)
+{
+    ShimMp3 m = {data, (size_t)len, out, (size_t)outCap, 0, 0, 0, 0};
+    struct mad_decoder decoder;
+    mad_decoder_init(&decoder, &m, shim_mp3_input, 0, 0, shim_mp3_output,
+                     shim_mp3_error, 0);
+    mad_decoder_run(&decoder, MAD_DECODER_MODE_SYNC);
+    mad_decoder_finish(&decoder);
+    *freq = m.freq;
+    *chn = m.chn;
+    return (int64_t)m.outLen;
+}
+#endif
