@@ -89,10 +89,15 @@ class Oracle:
         src = np.frombuffer(bytes(src), dtype=np.uint8) \
             if isinstance(src, (bytes, bytearray)) else \
             np.ascontiguousarray(src, dtype=np.uint8)
+        n = src.size
+        # The reference's repair interpolation reads one sample past the end
+        # of the source (src/wmix.c:1858,1915 dereference pSrc after the last
+        # copy); pad with zeros so that read is defined for parity purposes.
+        src = np.concatenate([src, np.zeros(8, np.uint8)])
         t = C.c_uint32(tick)
         new_head = self.lib.shim_load_data(
             _ptr(ring, C.c_uint8), head_off, wmix_head_off, wmix_tick,
-            reduce_mode, _ptr(src, C.c_uint8), src.size,
+            reduce_mode, _ptr(src, C.c_uint8), n,
             freq, chn, sample, reduce, C.byref(t))
         return new_head, t.value
 
