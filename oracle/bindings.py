@@ -224,6 +224,18 @@ class Oracle:
         self.lib.aac_encodeRelease(C.byref(enc))
         return b"".join(blobs)
 
+    def rdft(self, data, inverse: bool = False) -> np.ndarray:
+        """WebRtc_rdft from the vendored Ooura fft4g.c (compiled into the
+        webrtc NS lib)."""
+        a = np.ascontiguousarray(data, np.float32).copy()
+        n = a.size
+        ip = np.zeros(n // 2 + 2, np.int32)  # ip[0]=0 triggers table init
+        w = np.zeros(n // 2, np.float32)
+        self.lib.WebRtc_rdft(n, -1 if inverse else 1,
+                             _ptr(a, C.c_float), _ptr(ip, C.c_int32),
+                             _ptr(w, C.c_float))
+        return a
+
     # ---------------- math/fft.c ----------------
 
     def fft(self, real, imag=None):
