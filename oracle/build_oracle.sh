@@ -55,6 +55,12 @@ if [ ! -f "$INSTALL/lib/libfaad.so" ]; then
   rm -rf faad2-2.8.8
 fi
 
+# ---- 4b. keep an extracted webrtc source tree for shim introspection ----
+if [ ! -d "$ORACLE/src_webrtc/webrtc_cut" ]; then
+  mkdir -p "$ORACLE/src_webrtc"
+  tar -xzf "$REF/pkg/webrtc_cut.tar.gz" -C "$ORACLE/src_webrtc"
+fi
+
 # ---- 5. reference core + shim, one .so per engine geometry ----
 for geom in $GEOMETRIES; do
   chn=${geom%x*}
@@ -68,6 +74,7 @@ for geom in $GEOMETRIES; do
     "$REF"/src/aacType.c "$REF"/src/speexType.c "$REF"/math/fft.c \
     "$HERE"/plat_oracle/plat.c "$HERE"/shim.c \
     -I"$HERE"/plat_oracle -I"$REF"/src -I"$REF"/math -I"$INSTALL"/include \
+    -I"$ORACLE"/src_webrtc/webrtc_cut \
     -L"$INSTALL"/lib -Wl,-rpath,"$INSTALL"/lib \
     -DORACLE_CHN="$chn" -DORACLE_FREQ="$freq" \
     -DMAKE_MP3=1 -DMAKE_AAC=1 -DMAKE_WEBRTC_VAD=1 -DMAKE_WEBRTC_AEC=1 \

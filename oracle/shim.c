@@ -74,6 +74,61 @@ int64_t shim_load_data(
     return (int64_t)(ret.U8 - ring);
 }
 
+/* ---------------- NS state introspection (for parity debugging) ------- */
+#include "webrtc/modules/audio_processing/ns/ns_core.h"
+
+/* Copy a field of NoiseSuppressionC into out; returns element count. */
+int shim_ns_dump(void *handle, const char *field, float *out, int cap)
+{
+    NoiseSuppressionC *s = (NoiseSuppressionC *)handle;
+    int i, n = 0;
+#define CPYF(name, len) \
+    if (!strcmp(field, #name)) { n = (len); for (i = 0; i < n && i < cap; i++) out[i] = s->name[i]; return n; }
+#define CPYS(name) \
+    if (!strcmp(field, #name)) { out[0] = (float)s->name; return 1; }
+    CPYF(noise, HALF_ANAL_BLOCKL)
+    CPYF(noisePrev, HALF_ANAL_BLOCKL)
+    CPYF(magnPrevAnalyze, HALF_ANAL_BLOCKL)
+    CPYF(magnPrevProcess, HALF_ANAL_BLOCKL)
+    CPYF(magnAvgPause, HALF_ANAL_BLOCKL)
+    CPYF(initMagnEst, HALF_ANAL_BLOCKL)
+    CPYF(parametricNoise, HALF_ANAL_BLOCKL)
+    CPYF(smooth, HALF_ANAL_BLOCKL)
+    CPYF(speechProb, HALF_ANAL_BLOCKL)
+    CPYF(logLrtTimeAvg, HALF_ANAL_BLOCKL)
+    CPYF(quantile, HALF_ANAL_BLOCKL)
+    CPYF(lquantile, SIMULT * HALF_ANAL_BLOCKL)
+    CPYF(density, SIMULT * HALF_ANAL_BLOCKL)
+    CPYF(featureData, 7)
+    CPYF(priorModelPars, 7)
+    CPYF(analyzeBuf, ANAL_BLOCKL_MAX)
+    CPYF(dataBuf, ANAL_BLOCKL_MAX)
+    CPYF(syntBuf, ANAL_BLOCKL_MAX)
+    CPYS(whiteNoiseLevel)
+    CPYS(pinkNoiseNumerator)
+    CPYS(pinkNoiseExp)
+    CPYS(priorSpeechProb)
+    CPYS(signalEnergy)
+    CPYS(sumMagn)
+    CPYS(blockInd)
+    CPYS(updates)
+    if (!strcmp(field, "counter")) {
+        for (i = 0; i < SIMULT; i++) out[i] = (float)s->counter[i];
+        return SIMULT;
+    }
+    if (!strcmp(field, "histLrt")) {
+        for (i = 0; i < HIST_PAR_EST && i < cap; i++) out[i] = (float)s->histLrt[i];
+        return HIST_PAR_EST;
+    }
+    if (!strcmp(field, "modelUpdatePars")) {
+        for (i = 0; i < 4; i++) out[i] = (float)s->modelUpdatePars[i];
+        return 4;
+    }
+#undef CPYF
+#undef CPYS
+    return -1;
+}
+
 /* ---------------- mp3 decode oracle (libmad driver) ---------------- */
 #if (MAKE_MP3)
 #include <mad.h>

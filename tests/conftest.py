@@ -8,15 +8,31 @@ run on the real chip.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# The float DSP parity path double-rounds f64 transcendentals to f32 like
+# the C reference; keep XLA from re-widening those conversions.
+if "xla_allow_excess_precision" not in _flags:
+    _flags = (_flags + " --xla_allow_excess_precision=false").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+# Force the CPU backend with 8 virtual devices.  NB the environment may
+# pre-register a TPU plugin and pin JAX_PLATFORMS; the config update (made
+# before any backend is initialized) wins over both.
+jax.config.update("jax_platforms", "cpu")
+
+# The float NS/AEC chains replicate the C reference's double-precision
+# transcendentals (log/exp/tanh/pow); on the CPU test backend this runs in
+# float64 for bit-parity.  All framework code uses explicit dtypes, so
+# enabling x64 does not change integer-path semantics.
+jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,125 @@
+"""Float helpers matching the C reference's mixed float/double arithmetic.
+
+The reference's float DSP (ns_core.c, aec_core.c) stores state in float32
+but calls libm's double-precision log/exp/tanh/pow/sqrt and immediately
+rounds back to float.  For bit-parity the same double-rounding is applied
+here when float64 is available (CPU test backend, x64 enabled); on backends
+without float64 (TPU) the float32 approximations are used — quality-
+identical, and the int16 outputs stay within the parity budget in practice.
+
+Sequential float32 accumulation (`acc += term` loops) is order-sensitive;
+`seq_sum` reproduces the left-to-right fold with a lax.scan so vectorized
+reductions cannot reorder the rounding.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+F32 = jnp.float32
+
+
+def _wide_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def guard_zero(x):
+    """A runtime +0.0f the compiler cannot eliminate.
+
+    The x86 backend under XLA:CPU fuses adjacent fmul/fadd pairs into FMA
+    at instruction selection, skipping the product's float32 rounding and
+    breaking bit-parity with the reference.  Subtracting this zero from
+    each such product forces the rounding: even if `a*b - z` is itself
+    contracted to fmsub(a, b, z), z == +0 makes the result exactly
+    fl32(a*b), and the following add/sub then sees a non-product operand.
+
+    The zero is built as `x0 - x0` from a raw data element: the compiler
+    cannot prove x0 is non-NaN, so the subtraction survives to machine
+    code (a cleansed/provably-finite formulation gets folded away, and the
+    fusion reappears).  Callers must derive it from finite data — all
+    audio-path floats are int16-ranged.  x0 - x0 is +0 for every finite
+    x0 including -0, so signed zeros flow through gm() unchanged."""
+    x0 = jnp.asarray(x).ravel()[0].astype(F32)
+    return x0 - x0
+
+
+# Alias kept for call sites that named the guard before the zero form.
+guard_one = guard_zero
+
+
+def gm(a, b, zero):
+    """Guarded float32 product, safe to place adjacent to an add/sub."""
+    return a * b - zero
+
+
+def gq(a, b, zero):
+    """Guarded float32 quotient: `a/b` with the simplifier's div<->mul
+    reassociation (mul(div(a,b),c) -> div(a*c,b) and friends) blocked by
+    the trailing exact subtraction."""
+    return a / b - zero
+
+
+def oc(c, zero):
+    """Opaque constant: exactly the float32 value of `c`, but runtime-valued
+    so the algebraic simplifier cannot rewrite `x / oc(c)` into a
+    reciprocal multiply or fold constant multiply chains (both change
+    float32 rounding vs the reference's literal arithmetic)."""
+    return jnp.float32(c) - zero
+
+
+def _via_double(fn, x):
+    return fn(x.astype(_wide_dtype())).astype(F32)
+
+
+def flog(x):
+    """(float)log((double)x)."""
+    return _via_double(jnp.log, x)
+
+
+def fexp(x):
+    """(float)exp((double)x)."""
+    return _via_double(jnp.exp, x)
+
+
+def ftanh(x):
+    """(float)tanh((double)x)."""
+    return _via_double(jnp.tanh, x)
+
+
+def fsqrt_d(x):
+    """(float)sqrt((double)x) — double sqrt is exactly rounded, so this is
+    the correctly-rounded route the C takes via libm sqrt()."""
+    return _via_double(jnp.sqrt, x)
+
+
+def fpow_div(num, base, expo):
+    """(float)(num / pow(base, expo)) with the division in double, as in
+    ns_core.c:1152-1153."""
+    w = _wide_dtype()
+    d = num.astype(w) / jnp.power(base.astype(w), expo.astype(w))
+    return d.astype(F32)
+
+
+def seq_sum(x, axis: int = -1):
+    """Left-to-right float32 fold, reproducing C `for(...) acc += x[i]`."""
+    x = jnp.moveaxis(x.astype(F32), axis, 0)
+
+    def body(acc, v):
+        return acc + v, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros(x.shape[1:], F32), x)
+    return acc
+
+
+def seq_sum_multi(*terms):
+    """Fold several same-length term arrays in one scan (they accumulate in
+    the same C loop but into independent accumulators)."""
+    stacked = jnp.stack([jnp.moveaxis(t.astype(F32), -1, 0) for t in terms])
+
+    def body(accs, vs):
+        return accs + vs, None
+
+    accs, _ = jax.lax.scan(
+        body, jnp.zeros(stacked.shape[:1] + stacked.shape[2:], F32),
+        jnp.moveaxis(stacked, 1, 0))
+    return tuple(accs[i] for i in range(len(terms)))

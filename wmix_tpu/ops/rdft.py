@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from wmix_tpu.dsp.floatops import gm, guard_one
+
 F32 = np.float32
 
 
@@ -217,7 +219,7 @@ def _vals_v0(x, j, l):
             x1r + x3i, x1i - x3r]
 
 
-def _vals_v1(x, j, l, w2):
+def _vals_v1(x, j, l, w2, one=None):
     """cftmdl section B values (fft4g.c:1136-1160): wk1r = w[2] twiddle."""
     j1, j2, j3 = j + l, j + 2 * l, j + 3 * l
     ar, ai = x[j], x[j + 1]
@@ -232,13 +234,15 @@ def _vals_v1(x, j, l, w2):
     y0i = x1i + x3r
     z0r = x3i + x1r
     z0i = x3r - x1i
+    # products guarded: stage outputs feed the next stage's adds through a
+    # static gather the backend can fuse across
     return [x0r + x2r, x0i + x2i,
-            w2 * (y0r - y0i), w2 * (y0r + y0i),
+            gm(w2, y0r - y0i, one), gm(w2, y0r + y0i, one),
             x2i - x0i, x0r - x2r,
-            w2 * (z0i - z0r), w2 * (z0i + z0r)]
+            gm(w2, z0i - z0r, one), gm(w2, z0i + z0r, one)]
 
 
-def _vals_v23(x, j, l, tw, second: bool):
+def _vals_v23(x, j, l, tw, second: bool, one=None):
     """cftmdl k-loop butterfly values (fft4g.c:1172-1229)."""
     wk1r, wk1i, wk2r, wk2i, wk3r, wk3i = (tw[:, i] for i in range(6))
     j1, j2, j3 = j + l, j + 2 * l, j + 3 * l
@@ -253,19 +257,21 @@ def _vals_v23(x, j, l, tw, second: bool):
     u0r = x0r - x2r
     u0i = x0i - x2i
     if second:
-        o2r = (-wk2i) * u0r - wk2r * u0i
-        o2i = (-wk2i) * u0i + wk2r * u0r
+        o2r = gm(-wk2i, u0r, one) - gm(wk2r, u0i, one)
+        o2i = gm(-wk2i, u0i, one) + gm(wk2r, u0r, one)
     else:
-        o2r = wk2r * u0r - wk2i * u0i
-        o2i = wk2r * u0i + wk2i * u0r
+        o2r = gm(wk2r, u0r, one) - gm(wk2i, u0i, one)
+        o2i = gm(wk2r, u0i, one) + gm(wk2i, u0r, one)
     v0r = x1r - x3i
     v0i = x1i + x3r
     t0r = x1r + x3i
     t0i = x1i - x3r
     return [x0r + x2r, x0i + x2i,
-            wk1r * v0r - wk1i * v0i, wk1r * v0i + wk1i * v0r,
+            gm(wk1r, v0r, one) - gm(wk1i, v0i, one),
+            gm(wk1r, v0i, one) + gm(wk1i, v0r, one),
             o2r, o2i,
-            wk3r * t0r - wk3i * t0i, wk3r * t0i + wk3i * t0r]
+            gm(wk3r, t0r, one) - gm(wk3i, t0i, one),
+            gm(wk3r, t0i, one) + gm(wk3i, t0r, one)]
 
 
 def _section_targets(j: np.ndarray, l: int) -> np.ndarray:
@@ -293,16 +299,16 @@ def _stage_inv_perm(n: int, l: int) -> np.ndarray:
     return inv
 
 
-def _cftmdl(x, spec, n, l, w2):
+def _cftmdl(x, spec, n, l, w2, one):
     jA, jB, jC, tC, jD, tD = spec
     parts = [_stack_vals(_vals_v0(x, jnp.asarray(jA), l)),
-             _stack_vals(_vals_v1(x, jnp.asarray(jB), l, w2))]
+             _stack_vals(_vals_v1(x, jnp.asarray(jB), l, w2, one))]
     if len(jC):
         parts.append(_stack_vals(_vals_v23(x, jnp.asarray(jC), l,
-                                           jnp.asarray(tC), False)))
+                                           jnp.asarray(tC), False, one)))
     if len(jD):
         parts.append(_stack_vals(_vals_v23(x, jnp.asarray(jD), l,
-                                           jnp.asarray(tD), True)))
+                                           jnp.asarray(tD), True, one)))
     vals = jnp.concatenate(parts)
     return vals[jnp.asarray(_stage_inv_perm(n, l))]
 
@@ -319,7 +325,7 @@ def _final_inv_perm(n: int, l: int, radix4: bool) -> np.ndarray:
     return inv
 
 
-def _cft_sub(x, plan, forward: bool):
+def _cft_sub(x, plan, forward: bool, one=None):
     """cftfsub / cftbsub (fft4g.c:902-999); they share cft1st/cftmdl and
     differ only in the final radix section's conjugation."""
     n = plan["n"]
@@ -327,7 +333,7 @@ def _cft_sub(x, plan, forward: bool):
     if n > 8:
         sl = 2
         for si, spec in enumerate(plan["stages"]):
-            x = _cftmdl(x, spec, n, sl, plan["w2"])
+            x = _cftmdl(x, spec, n, sl, plan["w2"], one)
             sl = 8 if si == 0 else sl << 2
         l = plan["l_final"]
     j = jnp.asarray(plan["jF"])
@@ -360,7 +366,7 @@ def _cft_sub(x, plan, forward: bool):
     return flat[jnp.asarray(_final_inv_perm(n, l, plan["final_radix4"]))]
 
 
-def _rft_sub(x, plan, forward: bool):
+def _rft_sub(x, plan, forward: bool, one=None):
     """rftfsub / rftbsub (fft4g.c:1234-1283).  The (j, n-j) pairs are
     disjoint and skip indices {0, 1, m, m+1}, so one combined scatter."""
     j = jnp.asarray(plan["jR"])
@@ -372,14 +378,14 @@ def _rft_sub(x, plan, forward: bool):
     xr = x[j] - x[k]
     xi = x[j + 1] + x[k + 1]
     if forward:
-        yr = wkr * xr - wki * xi
-        yi = wkr * xi + wki * xr
+        yr = gm(wkr, xr, one) - gm(wki, xi, one)
+        yi = gm(wkr, xi, one) + gm(wki, xr, one)
         vals = [x[j] - yr, x[j + 1] - yi, x[k] + yr, x[k + 1] - yi]
         idx = jnp.concatenate([j, j + 1, k, k + 1])
         return x.at[idx].set(jnp.concatenate(vals))
     else:
-        yr = wkr * xr + wki * xi
-        yi = wkr * xi - wki * xr
+        yr = gm(wkr, xr, one) + gm(wki, xi, one)
+        yi = gm(wkr, xi, one) - gm(wki, xr, one)
         vals = [x[j] - yr, yi - x[j + 1], x[k] + yr, yi - x[k + 1],
                 jnp.stack([-x[1], -x[m + 1]])]
         idx = jnp.concatenate(
@@ -388,12 +394,14 @@ def _rft_sub(x, plan, forward: bool):
         return x.at[idx].set(jnp.concatenate(vals))
 
 
-def _rdft_one(v, plan, inverse: bool):
+def _rdft_one(v, plan, inverse: bool, one=None):
     v = v.astype(jnp.float32)
+    if one is None:
+        one = guard_one(v)
     if not inverse:
         v = v[jnp.asarray(plan["perm"])]
-        v = _cft_sub(v, plan, True)
-        v = _rft_sub(v, plan, True)
+        v = _cft_sub(v, plan, True, one)
+        v = _rft_sub(v, plan, True, one)
         xi = v[0] - v[1]
         v = v.at[0].set(v[0] + v[1])
         v = v.at[1].set(xi)
@@ -401,9 +409,9 @@ def _rdft_one(v, plan, inverse: bool):
         a1 = jnp.float32(0.5) * (v[0] - v[1])
         v = v.at[1].set(a1)
         v = v.at[0].set(v[0] - a1)
-        v = _rft_sub(v, plan, False)
+        v = _rft_sub(v, plan, False, one)
         v = v[jnp.asarray(plan["perm"])]
-        v = _cft_sub(v, plan, False)
+        v = _cft_sub(v, plan, False, one)
     return v
 
 
