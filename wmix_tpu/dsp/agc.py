@@ -1,0 +1,658 @@
+"""Automatic gain control: bit-exact rebuild of the webrtc legacy AGC's
+digital path in JAX.
+
+The daemon runs kAgcModeAdaptiveDigital with targetLevelDbfs=0, limiter off
+and inMicLevel pinned to 0 (src/webrtc.c:694-819).  In that deployment the
+audio path is exactly WebRtcAgc_ProcessDigital (digital_agc.c:294-604) —
+the analog-adaptation simulation (analog_agc.c:639-1132) only moves the
+virtual mic volume, which the daemon ignores, and its gain-table recalc is
+compiled out (MIC_LEVEL_FEEDBACK).  AddMic/AddFarend are never called, so
+lowLevelSignal stays 0 and the far-end VAD counter stays at its initial 3.
+
+Rebuilt here:
+  * the 32-entry compressor gain table (WebRtcAgc_CalculateGainTable,
+    digital_agc.c:61-257) — computed host-side in exact integer numpy at
+    config time, including the analogTarget derivation
+    (WebRtcAgc_UpdateAgcThresholds, analog_agc.c:437-449);
+  * the per-frame digital AGC: energy envelope per 1 ms subframe,
+    fast/slow capacitors, gain interpolation from the table, speech-gate,
+    overload limiting, and the two-segment gain ramp application;
+  * the AGC's own VAD (WebRtcAgc_ProcessVad, digital_agc.c:633-771) with
+    the WebRtcSpl_DownsampleBy2 allpass decimator and the fixed-point
+    WebRtcSpl_Sqrt;
+  * the daemon wrapper semantics: truncating channel downmix, 10 ms
+    subpackages (5 ms at 32 kHz), and both output channels fed from the
+    mono result (src/webrtc.c:813-815).
+
+All arithmetic is int32/uint32 with C wrap/shift semantics; single-stream
+functions, vmapped by the engine.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wmix_tpu.dsp.intops import I32, U32, norm_w32, norm_u32, wrap16
+
+# kGenFuncTable: y = log2(1+e^x) in Q8 (digital_agc.c:40-57)
+GEN_FUNC_TABLE = np.array([
+    256, 485, 786, 1126, 1484, 1849, 2217, 2586,
+    2955, 3324, 3693, 4063, 4432, 4801, 5171, 5540,
+    5909, 6279, 6648, 7017, 7387, 7756, 8125, 8495,
+    8864, 9233, 9603, 9972, 10341, 10711, 11080, 11449,
+    11819, 12188, 12557, 12927, 13296, 13665, 14035, 14404,
+    14773, 15143, 15512, 15881, 16251, 16620, 16989, 17359,
+    17728, 18097, 18466, 18836, 19205, 19574, 19944, 20313,
+    20682, 21052, 21421, 21790, 22160, 22529, 22898, 23268,
+    23637, 24006, 24376, 24745, 25114, 25484, 25853, 26222,
+    26592, 26961, 27330, 27700, 28069, 28438, 28808, 29177,
+    29546, 29916, 30285, 30654, 31024, 31393, 31762, 32132,
+    32501, 32870, 33240, 33609, 33978, 34348, 34717, 35086,
+    35456, 35825, 36194, 36564, 36933, 37302, 37672, 38041,
+    38410, 38780, 39149, 39518, 39888, 40257, 40626, 40996,
+    41365, 41734, 42104, 42473, 42842, 43212, 43581, 43950,
+    44320, 44689, 45058, 45428, 45797, 46166, 46536, 46905],
+    np.int64)
+
+AVG_DECAY_TIME = 250
+
+# UpdateAgcThresholds constants (analog_agc.c; defines from analog_agc.h)
+DIFF_REF_TO_ANALOG = 5
+ANALOG_TARGET_LEVEL = 11
+ANALOG_TARGET_LEVEL_2 = 5  # ANALOG_TARGET_LEVEL / 2
+DIGITAL_REF_AT_0_COMP_GAIN = 4
+
+# WebRtcSpl_DownsampleBy2 allpass coefficients (resample_by_2.c)
+RESAMPLE_ALLPASS_1 = np.array([3284, 24441, 49528], np.int64)
+RESAMPLE_ALLPASS_2 = np.array([12199, 37471, 60255], np.int64)
+
+
+def _div_round_c(num: int, den: int) -> int:
+    """C truncating division on ints (host)."""
+    q = abs(num) // abs(den)
+    return -q if (num < 0) != (den < 0) else q
+
+
+def analog_target(compression_gain_db: int, agc_mode_fixed: bool = False
+                  ) -> int:
+    """analogTarget from WebRtcAgc_UpdateAgcThresholds
+    (analog_agc.c:437-449)."""
+    tmp16 = DIFF_REF_TO_ANALOG * compression_gain_db + ANALOG_TARGET_LEVEL_2
+    tmp16 = _div_round_c(tmp16, ANALOG_TARGET_LEVEL)
+    target = DIGITAL_REF_AT_0_COMP_GAIN + tmp16
+    if target < DIGITAL_REF_AT_0_COMP_GAIN:
+        target = DIGITAL_REF_AT_0_COMP_GAIN
+    if agc_mode_fixed:
+        target = compression_gain_db
+    return target
+
+
+def _norm_w32_host(a: int) -> int:
+    if a == 0:
+        return 0
+    if a < 0:
+        a = ~a & 0xFFFFFFFF
+    zeros = 0
+    for bit in range(30, -1, -1):
+        if a & (1 << bit):
+            break
+        zeros += 1
+    return zeros
+
+
+def _norm_u32_host(a: int) -> int:
+    if a == 0:
+        return 0
+    zeros = 0
+    for bit in range(31, -1, -1):
+        if a & (1 << bit):
+            break
+        zeros += 1
+    return zeros
+
+
+@functools.lru_cache(maxsize=None)
+def gain_table(compression_gain_db: int, target_level_dbfs: int = 0,
+               limiter_enable: int = 0) -> np.ndarray:
+    """WebRtcAgc_CalculateGainTable (digital_agc.c:61-257), host-exact.
+
+    Returns int32[32] in Q16."""
+    a_target = analog_target(compression_gain_db)
+    kLog10 = 54426
+    kLog10_2 = 49321
+    kLogE_1 = 23637
+    kCompRatio = 3
+    kSoftLimiterLeft = 1
+    limiterOffset = 0
+
+    def i16(x):
+        return ((int(x) + 0x8000) & 0xFFFF) - 0x8000
+
+    def i32(x):
+        return ((int(x) + 0x80000000) & 0xFFFFFFFF) - 0x80000000
+
+    tmp32no1 = (compression_gain_db - a_target) * (kCompRatio - 1)
+    tmp16no1 = a_target - target_level_dbfs
+    tmp16no1 += i16(_div_round_c(tmp32no1 + (kCompRatio >> 1), kCompRatio))
+    maxGain = max(tmp16no1, a_target - target_level_dbfs)
+    tmp32no1 = maxGain * kCompRatio
+    zeroGainLvl = compression_gain_db
+    zeroGainLvl -= i16(_div_round_c(tmp32no1 + ((kCompRatio - 1) >> 1),
+                                    kCompRatio - 1))
+    if compression_gain_db <= a_target and limiter_enable:
+        zeroGainLvl += a_target - compression_gain_db + kSoftLimiterLeft
+        limiterOffset = 0
+
+    tmp32no1 = compression_gain_db * (kCompRatio - 1)
+    diffGain = i16(_div_round_c(tmp32no1 + (kCompRatio >> 1), kCompRatio))
+    assert 0 <= diffGain < len(GEN_FUNC_TABLE)
+
+    limiterLvlX = a_target - limiterOffset
+    limiterIdx = 2 + i16(_div_round_c(i32(limiterLvlX << 13),
+                                      kLog10_2 // 2))
+    tmp16no1 = i16(_div_round_c(limiterOffset + (kCompRatio >> 1),
+                                kCompRatio))
+    limiterLvl = target_level_dbfs + tmp16no1
+
+    constMaxGain = int(GEN_FUNC_TABLE[diffGain])
+    constLinApprox = 22817
+    den = 20 * constMaxGain
+
+    table = np.zeros(32, np.int64)
+    for i in range(32):
+        tmp16 = i16((kCompRatio - 1) * (i - 1))
+        tmp32 = i32(tmp16 * kLog10_2 + 1)
+        inLevel = _div_round_c(tmp32, kCompRatio)
+        inLevel = i32((diffGain << 14) - inLevel)
+        absInLevel = abs(inLevel) & 0xFFFFFFFF
+
+        intPart = (absInLevel >> 14) & 0xFFFF
+        fracPart = absInLevel & 0x3FFF
+        tmpU16 = (int(GEN_FUNC_TABLE[intPart + 1]) -
+                  int(GEN_FUNC_TABLE[intPart])) & 0xFFFF
+        tmpU32no1 = (tmpU16 * fracPart) & 0xFFFFFFFF
+        tmpU32no1 = (tmpU32no1 + (int(GEN_FUNC_TABLE[intPart]) << 14)) \
+            & 0xFFFFFFFF
+        logApprox = tmpU32no1 >> 8
+        if inLevel < 0:
+            zeros = _norm_u32_host(absInLevel)
+            zerosScale = 0
+            if zeros < 15:
+                tmpU32no2 = absInLevel >> (15 - zeros)
+                tmpU32no2 = (tmpU32no2 * kLogE_1) & 0xFFFFFFFF
+                if zeros < 9:
+                    zerosScale = 9 - zeros
+                    tmpU32no1 >>= zerosScale
+                else:
+                    tmpU32no2 >>= zeros - 9
+            else:
+                tmpU32no2 = (absInLevel * kLogE_1) & 0xFFFFFFFF
+                tmpU32no2 >>= 6
+            logApprox = 0
+            if tmpU32no2 < tmpU32no1:
+                logApprox = (tmpU32no1 - tmpU32no2) >> (8 - zerosScale)
+        numFIX = i32((maxGain * constMaxGain) << 6)
+        numFIX = i32(numFIX - i32(i32(logApprox) * diffGain))
+
+        if numFIX > (den >> 8):
+            zeros = _norm_w32_host(numFIX)
+        else:
+            zeros = _norm_w32_host(den) + 8
+        numFIX = i32(numFIX << zeros)
+
+        tmp32no1 = i32(den << (zeros - 8)) if zeros >= 8 else \
+            den >> (8 - zeros)
+        if numFIX < 0:
+            numFIX -= _div_round_c(tmp32no1, 2)
+        else:
+            numFIX += _div_round_c(tmp32no1, 2)
+        y32 = _div_round_c(numFIX, tmp32no1)
+        if limiter_enable and i < limiterIdx:
+            tmp32 = i32(i16(i - 1) * kLog10_2)
+            tmp32 = i32(tmp32 - (limiterLvl << 14))
+            y32 = _div_round_c(tmp32 + 10, 20)
+        if y32 > 39000:
+            tmp32 = i32((y32 >> 1) * kLog10 + 4096)
+            tmp32 >>= 13
+        else:
+            tmp32 = i32(y32 * kLog10 + 8192)
+            tmp32 >>= 14
+        tmp32 += 16 << 14
+
+        if tmp32 > 0:
+            intPart = tmp32 >> 14
+            fracPart = tmp32 & 0x3FFF
+            if (fracPart >> 13) != 0:
+                tmp16 = (2 << 14) - constLinApprox
+                tmp32no2 = (1 << 14) - fracPart
+                tmp32no2 = i32(tmp32no2 * tmp16)
+                tmp32no2 >>= 13
+                tmp32no2 = (1 << 14) - tmp32no2
+            else:
+                tmp16 = constLinApprox - (1 << 14)
+                tmp32no2 = i32(fracPart * tmp16) >> 13
+            fracPart = tmp32no2 & 0xFFFF
+            shifted = (fracPart << (intPart - 14)) if intPart >= 14 \
+                else (fracPart >> (14 - intPart))
+            table[i] = i32((1 << intPart) + shifted)
+        else:
+            table[i] = 0
+    return table.astype(np.int64)
+
+
+class AgcState(NamedTuple):
+    """DigitalAgc + AgcVad state (digital_agc.h), int32 leaves."""
+    capacitor_slow: jax.Array
+    capacitor_fast: jax.Array
+    gain: jax.Array
+    gate_previous: jax.Array
+    # near-end VAD
+    hp_state: jax.Array
+    log_ratio: jax.Array
+    mean_long_term: jax.Array
+    variance_long_term: jax.Array
+    std_long_term: jax.Array
+    mean_short_term: jax.Array
+    variance_short_term: jax.Array
+    std_short_term: jax.Array
+    counter: jax.Array
+    down_state: jax.Array  # [8]
+
+
+def init_state() -> AgcState:
+    """WebRtcAgc_InitDigital + InitVad (digital_agc.c:259-282,606-631),
+    adaptive-digital mode."""
+    return AgcState(
+        capacitor_slow=jnp.int32(134217728),
+        capacitor_fast=jnp.int32(0),
+        gain=jnp.int32(65536),
+        gate_previous=jnp.int32(0),
+        hp_state=jnp.int32(0),
+        log_ratio=jnp.int32(0),
+        mean_long_term=jnp.int32(15 << 10),
+        variance_long_term=jnp.int32(500 << 8),
+        std_long_term=jnp.int32(0),
+        mean_short_term=jnp.int32(15 << 10),
+        variance_short_term=jnp.int32(500 << 8),
+        std_short_term=jnp.int32(0),
+        counter=jnp.int32(3),
+        down_state=jnp.zeros(8, I32),
+    )
+
+
+# --------------------------------------------------------------------------
+# fixed-point helpers
+# --------------------------------------------------------------------------
+
+def _scalediff32(a, b, c):
+    """AGC_SCALEDIFF32 (digital_agc.h:23): all-int arithmetic."""
+    return c + (b >> 16) * a + (((b & 0xFFFF) * a) >> 16)
+
+
+def _mul32(a, b):
+    """AGC_MUL32 (digital_agc.h:21)."""
+    return (b >> 13) * a + (((b & 0x1FFF) * a) >> 13)
+
+
+def _mul_accum(a, b, c):
+    """WEBRTC_SPL_SCALEDIFF32 (signal_processing_library.h:78): the low
+    half product is computed in uint32 with a logical shift."""
+    lo = ((b & 0xFFFF).astype(U32) * jnp.uint32(a)) >> jnp.uint32(16)
+    return c + (b >> 16) * jnp.int32(a) + lo.astype(I32)
+
+
+def _sat_w16(x):
+    return jnp.clip(x, -32768, 32767).astype(I32)
+
+
+def _add_sat_w16(a, b):
+    return jnp.clip(a + b, -32768, 32767).astype(I32)
+
+
+def _div_trunc(num, den):
+    q = jnp.abs(num.astype(jnp.int64)) // jnp.abs(den.astype(jnp.int64))
+    q = jnp.where((num < 0) ^ (den < 0), -q, q)
+    return q.astype(I32)
+
+
+def _sqrt_local(inp):
+    """WebRtcSpl_SqrtLocal (spl_sqrt.c:24-70)."""
+    B = _div_trunc(inp, jnp.int32(2))
+    B = B - jnp.int32(0x40000000)
+    x_half = wrap16(B >> 16)
+    B = B + jnp.int32(0x40000000)
+    B = B + jnp.int32(0x40000000)
+    x2 = x_half * x_half * 2
+    A = -x2
+    B = B + (A >> 1)
+    A = A >> 16
+    A = A * A * 2
+    t16 = wrap16(A >> 16)
+    B = B + jnp.int32(-20480) * t16 * 2
+    A = x_half * t16 * 2
+    t16 = wrap16(A >> 16)
+    B = B + jnp.int32(28672) * t16 * 2
+    t16 = wrap16(x2 >> 16)
+    A = x_half * t16 * 2
+    B = B + (A >> 1)
+    B = B + jnp.int32(32768)
+    return B
+
+
+def _spl_sqrt(value):
+    """WebRtcSpl_Sqrt (spl_sqrt.c:71-184), literal replication."""
+    A = value.astype(I32)
+    sh = norm_w32(A)
+    An = A << sh
+    An = jnp.where(An < jnp.int32(0x7FFFFFFF) - 32767,
+                   An + jnp.int32(32768), jnp.int32(0x7FFFFFFF))
+    x_norm = wrap16(An >> 16)
+    nshift = _div_trunc(sh, jnp.int32(2))
+    A2 = jnp.abs((x_norm << 16).astype(I32))
+    A3 = _sqrt_local(A2)
+    even = (2 * nshift) == sh
+
+    t16 = wrap16(A3 >> 16)
+    Ae = jnp.int32(23170) * t16 * 2
+    Ae = Ae + jnp.int32(32768)
+    Ae = Ae & jnp.int32(0x7FFF0000)
+    Ae = Ae >> 15
+
+    Ao = A3 >> 16
+
+    res = jnp.where(even, Ae, Ao)
+    res = res & jnp.int32(0x0000FFFF)
+    res = res >> jnp.clip(nshift, 0, 31)
+    return jnp.where(value == 0, jnp.int32(0), res)
+
+
+# --------------------------------------------------------------------------
+# decimator + VAD (digital_agc.c:633-771, resample_by_2.c)
+# --------------------------------------------------------------------------
+
+def _downsample_by2(samples, state):
+    """WebRtcSpl_DownsampleBy2 for len=8 (4 output samples); state [8]."""
+    def body(st, pair):
+        s0, s1, s2, s3, s4, s5, s6, s7 = st
+        lo, hi = pair
+        in32 = lo << 10
+        diff = in32 - s1
+        tmp1 = _mul_accum(int(RESAMPLE_ALLPASS_2[0]), diff, s0)
+        s0 = in32
+        diff = tmp1 - s2
+        tmp2 = _mul_accum(int(RESAMPLE_ALLPASS_2[1]), diff, s1)
+        s1 = tmp1
+        diff = tmp2 - s3
+        s3 = _mul_accum(int(RESAMPLE_ALLPASS_2[2]), diff, s2)
+        s2 = tmp2
+        in32 = hi << 10
+        diff = in32 - s5
+        tmp1 = _mul_accum(int(RESAMPLE_ALLPASS_1[0]), diff, s4)
+        s4 = in32
+        diff = tmp1 - s6
+        tmp2 = _mul_accum(int(RESAMPLE_ALLPASS_1[1]), diff, s5)
+        s5 = tmp1
+        diff = tmp2 - s7
+        s7 = _mul_accum(int(RESAMPLE_ALLPASS_1[2]), diff, s6)
+        s6 = tmp2
+        out32 = (s3 + s7 + 1024) >> 11
+        return (s0, s1, s2, s3, s4, s5, s6, s7), _sat_w16(out32)
+
+    st0 = tuple(state[i] for i in range(8))
+    pairs = (samples[0::2], samples[1::2])
+    st, out = jax.lax.scan(body, st0, pairs)
+    return out, jnp.stack(st)
+
+
+def _process_vad(st: AgcState, samples, nr_samples: int):
+    """WebRtcAgc_ProcessVad (digital_agc.c:633-771).
+
+    samples: int32 [nr_samples] (80 or 160)."""
+    hp = st.hp_state
+    down = st.down_state
+    nrg = jnp.int32(0)
+    x = samples
+    for subfr in range(10):
+        if nr_samples == 160:
+            seg = x[subfr * 16:(subfr + 1) * 16]
+            buf1 = (seg[0::2] + seg[1::2]) >> 1
+            buf2, down = _downsample_by2(buf1, down)
+        else:
+            seg = x[subfr * 8:(subfr + 1) * 8]
+            buf2, down = _downsample_by2(seg, down)
+
+        def hp_body(carry, b):
+            hp_c, nrg_c = carry
+            out = b + hp_c
+            tmp32 = 600 * out
+            hp_n = wrap16((tmp32 >> 10) - b)
+            return (hp_n, nrg_c + ((out * out) >> 6)), None
+
+        (hp, nrg), _ = jax.lax.scan(hp_body, (hp, nrg), buf2)
+
+    # leading-zeros cascade on nrg (int32, shifts wrap like C)
+    nrgu = nrg
+    zeros = jnp.where((nrgu & jnp.int32(-65536)) == 0, 16, 0).astype(I32)
+    zeros = zeros + jnp.where(((nrgu << zeros) &
+                               jnp.int32(-16777216)) == 0, 8, 0)
+    zeros = zeros + jnp.where(((nrgu << zeros) &
+                               jnp.int32(-268435456)) == 0, 4, 0)
+    zeros = zeros + jnp.where(((nrgu << zeros) &
+                               jnp.int32(-1073741824)) == 0, 2, 0)
+    zeros = zeros + jnp.where(((nrgu << zeros) &
+                               jnp.int32(-2147483648)) == 0, 1, 0)
+    dB = wrap16((15 - zeros) << 11)
+
+    counter = st.counter + (st.counter < AVG_DECAY_TIME).astype(I32)
+
+    tmp32 = st.mean_short_term * 15 + dB
+    mean_st = wrap16(tmp32 >> 4)
+    tmp32 = (dB * dB) >> 12
+    tmp32 = tmp32 + st.variance_short_term * 15
+    var_st = _div_trunc(tmp32, jnp.int32(16))
+    tmp32 = mean_st * mean_st
+    tmp32 = (var_st << 12) - tmp32
+    std_st = wrap16(_spl_sqrt(tmp32))
+
+    tmp32 = st.mean_long_term * counter + dB
+    mean_lt = wrap16(_div_trunc(tmp32, _add_sat_w16(counter,
+                                                    jnp.int32(1))))
+    tmp32 = (dB * dB) >> 12
+    tmp32 = tmp32 + st.variance_long_term * counter
+    var_lt = _div_trunc(tmp32, _add_sat_w16(counter, jnp.int32(1)))
+    tmp32 = mean_lt * mean_lt
+    tmp32 = (var_lt << 12) - tmp32
+    std_lt = wrap16(_spl_sqrt(tmp32))
+
+    tmp16 = jnp.int32(3 << 12)
+    tmp32 = tmp16 * wrap16(dB - mean_lt)
+    tmp32 = _div_trunc(tmp32, jnp.where(std_lt == 0, 1, std_lt))
+    tmp32 = jnp.where(std_lt == 0, jnp.int32(0x7FFFFFFF), tmp32)
+    tmp32b = st.log_ratio * jnp.int32(13 << 12)
+    tmp32 = tmp32 + (tmp32b >> 10)
+    log_ratio = wrap16(tmp32 >> 6)
+    log_ratio = jnp.clip(log_ratio, -2048, 2048)
+
+    st = st._replace(hp_state=hp, down_state=down, counter=counter,
+                     mean_short_term=mean_st, variance_short_term=var_st,
+                     std_short_term=std_st, mean_long_term=mean_lt,
+                     variance_long_term=var_lt, std_long_term=std_lt,
+                     log_ratio=log_ratio)
+    return st, log_ratio
+
+
+# --------------------------------------------------------------------------
+# ProcessDigital (digital_agc.c:294-604)
+# --------------------------------------------------------------------------
+
+def process_digital(st: AgcState, frame, fs: int, table):
+    """One 10*L-sample block through the digital AGC (mono, the daemon's
+    configuration: adaptive digital, lowLevelSignal=0, no far-end VAD).
+
+    frame: int32 [10*L]; table: int32[32] device array.
+    Returns (state, out int32 [10*L])."""
+    L = 8 if fs == 8000 else 16
+    L2 = 3 if fs == 8000 else 4
+    n_tot = 10 * L
+
+    out = frame.astype(I32)
+    st, logratio = _process_vad(st, out, n_tot)
+    # far-end counter stays at init 3 (<= 10): no adjustment
+
+    upper_thr = jnp.int32(1024)
+    lower_thr = jnp.int32(0)
+    decay = jnp.where(
+        logratio > upper_thr, jnp.int32(-65),
+        jnp.where(logratio < lower_thr, jnp.int32(0),
+                  wrap16(((lower_thr - logratio) * 65) >> 10)))
+    # adaptive mode silence adjustment
+    decay = jnp.where(
+        st.std_long_term < 4000, jnp.int32(0),
+        jnp.where(st.std_long_term < 8096,
+                  wrap16(((st.std_long_term - 4000) * decay) >> 12),
+                  decay))
+
+    env = jnp.max((out.reshape(10, L) * out.reshape(10, L)), axis=1)
+    env = jnp.maximum(env, 0)
+
+    # capacitors + per-subframe gain (sequential scan over 10 subframes)
+    def cap_body(carry, e):
+        fast, slow = carry
+        fast = _scalediff32(jnp.int32(-1000), fast, fast)
+        fast = jnp.maximum(fast, e)
+        slow = jnp.where(e > slow,
+                         _scalediff32(jnp.int32(500), e - slow, slow),
+                         _scalediff32(decay, slow, slow))
+        cur = jnp.maximum(fast, slow)
+        zeros = jnp.where(cur == 0, 31, norm_u32(cur.astype(jnp.uint32)))
+        tmp32 = (cur << zeros) & jnp.int32(0x7FFFFFFF)
+        frac = (tmp32 >> 19).astype(I32)
+        g_hi = table[jnp.clip(zeros - 1, 0, 31)]
+        g_lo = table[jnp.clip(zeros, 0, 31)]
+        gain = g_lo + (((g_hi - g_lo) * frac) >> 12)
+        return (fast, slow), (gain, zeros, frac)
+
+    (cap_fast, cap_slow), (gains_sub, zeros_arr, frac_arr) =         jax.lax.scan(cap_body, (st.capacitor_fast, st.capacitor_slow), env)
+    gains = jnp.concatenate([st.gain[None], gains_sub])
+
+    # gate (uses the LAST subframe's zeros/frac)
+    zeros_g = (zeros_arr[9] << 9) - (frac_arr[9] >> 3)
+    zeros_fast = jnp.where(cap_fast == 0, 31,
+                           norm_u32(cap_fast.astype(jnp.uint32)))
+    tmp32 = (cap_fast << zeros_fast) & jnp.int32(0x7FFFFFFF)
+    zeros_fast = (zeros_fast << 9) - (tmp32 >> 22)
+    gate = wrap16(1000 + zeros_fast - zeros_g - st.std_short_term)
+    gate_prev = jnp.where(gate < 0, jnp.int32(0),
+                          wrap16((gate + st.gate_previous * 7) >> 3))
+    gate = jnp.where(gate < 0, gate, gate_prev)
+
+    gain_adj = jnp.where(gate < 2500, (2500 - gate) >> 5, jnp.int32(0))
+    g0 = table[0]
+
+    def gated(g):
+        big = (g - g0) > 8388608
+        t_big = ((g - g0) >> 8) * (178 + gain_adj)
+        t_small = ((g - g0) * (178 + gain_adj)) >> 8
+        return g0 + jnp.where(big, t_big, t_small)
+
+    gains = jnp.where(gate > 0,
+                      jnp.concatenate([gains[:1], gated(gains[1:])]),
+                      gains)
+
+    # overload limiting (while-loop per subframe, sequential semantics)
+    def limit_one(g, e):
+        # zeros is computed once from the incoming gain (digital_agc.c:524)
+        z = jnp.where(g > 47453132, 16 - norm_w32(g), jnp.int32(10))
+        lim_sh = 2 * (1 - z + 10)
+        lim = jnp.where(lim_sh >= 0, jnp.int32(32767) << jnp.maximum(
+            lim_sh, 0), jnp.int32(32767) >> jnp.maximum(-lim_sh, 0))
+
+        def cond(carry):
+            g, _ = carry
+            gain32 = (g >> z) + 1
+            gain32 = gain32 * gain32
+            return _mul32((e >> 12) + 1, gain32) > lim
+
+        def body(carry):
+            g, e = carry
+            g = jnp.where(g > 8388607, _div_trunc(g, jnp.int32(256)) * 253,
+                          _div_trunc(g * 253, jnp.int32(256)))
+            return (g, e)
+
+        g, _ = jax.lax.while_loop(cond, body, (g, e))
+        return g
+
+    glim = jax.vmap(limit_one)(gains[1:], env)
+    gains = jnp.concatenate([gains[:1], glim])
+
+    # gain reductions 1 ms early
+    def back_body(carry, g_next):
+        return carry, None
+    g_rev = gains[1:]
+    # gains[k] = min(gains[k], gains[k+1]) for k = 1..9 (in order)
+    def fwd(k, g):
+        return g.at[k].set(jnp.minimum(g[k], g[k + 1]))
+    gains = jax.lax.fori_loop(1, 10, fwd, gains)
+
+    new_gain = gains[10]
+
+    # apply the gains: first subframe with saturation checks
+    n_idx = jnp.arange(L, dtype=I32)
+    delta0 = (gains[1] - gains[0]) << (4 - L2)
+    gain32_0 = (gains[0] << 4) + n_idx * delta0
+    x0 = out[:L]
+    t_a = x0 * ((gain32_0 + 127) >> 7)
+    out_tmp = t_a >> 16
+    t_b = x0 * (gain32_0 >> 4)
+    y0 = jnp.where(out_tmp > 4095, jnp.int32(32767),
+                   jnp.where(out_tmp < -4096, jnp.int32(-32768),
+                             wrap16(t_b >> 16)))
+
+    # remaining subframes
+    ks = jnp.arange(1, 10)
+    deltas = (gains[2:] - gains[1:10]) << (4 - L2)
+    starts = gains[1:10] << 4
+    g_mat = starts[:, None] + n_idx[None, :] * deltas[:, None]
+    xs = out[L:].reshape(9, L)
+    ys = wrap16((xs * (g_mat >> 4)) >> 16)
+
+    out_new = jnp.concatenate([y0, ys.reshape(-1)])
+    st = st._replace(capacitor_fast=cap_fast, capacitor_slow=cap_slow,
+                     gain=new_gain, gate_previous=jnp.where(
+                         gate < 0, jnp.int32(0), gate_prev))
+    return st, out_new
+
+
+# --------------------------------------------------------------------------
+# daemon wrapper (src/webrtc.c agc_process:767-819)
+# --------------------------------------------------------------------------
+
+def process_pkg(st: AgcState, pkg, chn: int, freq: int,
+                compression_gain_db: int):
+    """One daemon package: truncating downmix, subpackage loop, mono AGC,
+    result duplicated to every output channel."""
+    table = jnp.asarray(gain_table(compression_gain_db)).astype(I32)
+    pkg_frame = freq // 1000 * (10 if freq <= 16000 else 5)
+    frame_num = pkg.shape[0] // chn
+    n_sub = frame_num // pkg_frame
+
+    x = pkg.reshape(frame_num, chn).astype(I32)
+    if chn > 1:
+        ssum = x.sum(axis=1)
+        mono = jnp.where(ssum < 0, -((-ssum) // chn), ssum // chn)
+    else:
+        mono = x[:, 0]
+    mono = mono.astype(I32)
+
+    outs = []
+    for i in range(n_sub):
+        seg = mono[i * pkg_frame:(i + 1) * pkg_frame]
+        st, y = process_digital(st, seg, freq, table)
+        outs.append(y)
+    out_mono = jnp.concatenate(outs)
+    out = jnp.repeat(out_mono, chn) if chn > 1 else out_mono
+    return st, wrap16(out)
