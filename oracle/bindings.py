@@ -236,6 +236,19 @@ class Oracle:
                              _ptr(w, C.c_float))
         return a
 
+    def aec_rdft(self, data, inverse: bool = False) -> np.ndarray:
+        """aec_rdft_forward_128/inverse_128 (C scalar paths)."""
+        if not getattr(self, "_aec_rdft_ready", False):
+            self.lib.aec_rdft_init()
+            self._aec_rdft_ready = True
+        a = np.ascontiguousarray(data, np.float32).copy()
+        assert a.size == 128
+        if inverse:
+            self.lib.aec_rdft_inverse_128(_ptr(a, C.c_float))
+        else:
+            self.lib.aec_rdft_forward_128(_ptr(a, C.c_float))
+        return a
+
     # ---------------- math/fft.c ----------------
 
     def fft(self, real, imag=None):

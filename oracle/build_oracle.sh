@@ -61,6 +61,21 @@ if [ ! -d "$ORACLE/src_webrtc/webrtc_cut" ]; then
   tar -xzf "$REF/pkg/webrtc_cut.tar.gz" -C "$ORACLE/src_webrtc"
 fi
 
+# ---- 4c. C-only AEC lib: same sources as build_aec_so.sh but with a CPU
+# stub instead of cpu_features.cc, so the portable C kernels run (the
+# reference's embedded ARM targets use these; SSE2 reorders float sums) ----
+if [ ! -f "$INSTALL/lib/libwebrtcaec_c.so" ]; then
+  WCUT="$ORACLE/src_webrtc/webrtc_cut"
+  AEC_SRC=$(ls "$WCUT"/webrtc/modules/audio_processing/aec/*.c \
+            "$WCUT"/webrtc/modules/audio_processing/utility/*.c \
+            "$WCUT"/webrtc/common_audio/*.c \
+            "$WCUT"/webrtc/common_audio/signal_processing/*.c 2>/dev/null | \
+            grep -v -E "mips|neon|armv7|sse2")
+  gcc -fPIC -shared -o "$INSTALL/lib/libwebrtcaec_c.so" \
+    $AEC_SRC "$HERE"/cpu_stub.c \
+    -I"$WCUT" -DWEBRTC_POSIX -lpthread -lm
+fi
+
 # ---- 5. reference core + shim, one .so per engine geometry ----
 for geom in $GEOMETRIES; do
   chn=${geom%x*}
@@ -72,7 +87,7 @@ for geom in $GEOMETRIES; do
     "$REF"/src/wav.c "$REF"/src/delay.c "$REF"/src/g711codec.c \
     "$REF"/src/rtp.c "$REF"/src/webrtc.c "$REF"/src/mp3Type.c \
     "$REF"/src/aacType.c "$REF"/src/speexType.c "$REF"/math/fft.c \
-    "$HERE"/plat_oracle/plat.c "$HERE"/shim.c \
+    "$HERE"/plat_oracle/plat.c "$HERE"/shim.c "$HERE"/cpu_stub.c \
     -I"$HERE"/plat_oracle -I"$REF"/src -I"$REF"/math -I"$INSTALL"/include \
     -I"$ORACLE"/src_webrtc/webrtc_cut \
     -L"$INSTALL"/lib -Wl,-rpath,"$INSTALL"/lib \
@@ -80,7 +95,7 @@ for geom in $GEOMETRIES; do
     -DMAKE_MP3=1 -DMAKE_AAC=1 -DMAKE_WEBRTC_VAD=1 -DMAKE_WEBRTC_AEC=1 \
     -DMAKE_WEBRTC_NS=1 -DMAKE_WEBRTC_AGC=1 -DMAKE_SPEEX=0 -DMAKE_SPEEX_BETA3=0 \
     -DMAKE_MATH_FFT=1024 -DMAKE_MATH_UI=0 \
-    -lwebrtcvad -lwebrtcaec -lwebrtcaecm -lwebrtcns -lwebrtcagc \
+    -lwebrtcvad -lwebrtcaec_c -lwebrtcaecm -lwebrtcns -lwebrtcagc \
     -lmad -lfaac -lfaad -lm -lpthread
   echo "built $out"
 done

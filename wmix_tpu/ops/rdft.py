@@ -124,9 +124,15 @@ def _makect(nc: int) -> np.ndarray:
     return c
 
 
-def _cftmdl_spec(n: int, l: int, w: np.ndarray):
+def _cftmdl_spec(n: int, l: int, w: np.ndarray, wk3_first=None,
+                 wk3_second=None):
     """Work spec for one cftmdl stage (fft4g.c:1107-1231; cft1st is the
-    l == 2 case).  Returns per-variant (j_base_array, twiddle arrays)."""
+    l == 2 case).  Returns per-variant (j_base_array, twiddle arrays).
+
+    fft4g derives the third-harmonic twiddles as wk3 = wk1 - 2*wk2*wk1
+    in float; the AEC's length-128 variant ships them as tables with
+    different last-ulp rounding (aec_rdft.c:52-66) — pass those via
+    wk3_first/wk3_second."""
     m = l << 2
     # section A: no twiddle
     jA = np.arange(0, l, 2, np.int64)
@@ -142,14 +148,20 @@ def _cftmdl_spec(n: int, l: int, w: np.ndarray):
         k2 = 2 * k1
         wk2r, wk2i = w[k1], w[k1 + 1]
         wk1r, wk1i = w[k2], w[k2 + 1]
-        wk3r = F32(wk1r - F32(F32(F32(2) * wk2i) * wk1i))
-        wk3i = F32(F32(F32(F32(2) * wk2i) * wk1r) - wk1i)
+        if wk3_first is not None:
+            wk3r, wk3i = wk3_first[k1], wk3_first[k1 + 1]
+        else:
+            wk3r = F32(wk1r - F32(F32(F32(2) * wk2i) * wk1i))
+            wk3i = F32(F32(F32(F32(2) * wk2i) * wk1r) - wk1i)
         for j in range(k, k + l, 2):
             jC.append(j)
             tC.append((wk1r, wk1i, wk2r, wk2i, wk3r, wk3i))
         wk1r, wk1i = w[k2 + 2], w[k2 + 3]
-        wk3r = F32(wk1r - F32(F32(F32(2) * wk2r) * wk1i))
-        wk3i = F32(F32(F32(F32(2) * wk2r) * wk1r) - wk1i)
+        if wk3_second is not None:
+            wk3r, wk3i = wk3_second[k1], wk3_second[k1 + 1]
+        else:
+            wk3r = F32(wk1r - F32(F32(F32(2) * wk2r) * wk1i))
+            wk3i = F32(F32(F32(F32(2) * wk2r) * wk1r) - wk1i)
         for j in range(k + m, k + m + l, 2):
             jD.append(j)
             tD.append((wk1r, wk1i, wk2r, wk2i, wk3r, wk3i))
@@ -446,5 +458,58 @@ def rdft_traced(x: jax.Array, inverse: bool = False) -> jax.Array:
     n = x.shape[-1]
     plan = _plan(n)
     flat = x.reshape(-1, n)
+    out = jax.vmap(lambda v: _rdft_one(v, plan, bool(inverse)))(flat)
+    return out.reshape(x.shape)
+
+
+# --------------------------------------------------------------------------
+# The AEC's length-128 variant (aec_rdft.c): identical structure, shipped
+# twiddle tables.
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _plan_aec128():
+    from wmix_tpu.ops._aec_rdft_tables import RDFT_W, WK3_FIRST, WK3_SECOND
+    n = 128
+    w = RDFT_W[:32]
+    c = RDFT_W[32:]
+    perm = _bitrv2_perm(n)
+    stages = [_cftmdl_spec(n, 2, w, WK3_FIRST, WK3_SECOND),
+              _cftmdl_spec(n, 8, w, WK3_FIRST, WK3_SECOND)]
+    l = 32
+    jF = np.arange(0, l, 2, np.int64)
+    m = n >> 1
+    jR = np.arange(2, m, 2, np.int64)
+    kk = np.arange(1, len(jR) + 1)
+    wkr = (F32(0.5) - c[32 - kk]).astype(F32)
+    wki = c[kk].astype(F32)
+    return dict(n=n, w2=F32(w[2]), perm=perm, stages=stages,
+                final_radix4=True, l_final=l, jF=jF,
+                jR=jR, kR=(n - jR), wkr=wkr, wki=wki)
+
+
+@functools.lru_cache(maxsize=None)
+def _aec_rdft_jit(inverse: bool):
+    plan = _plan_aec128()
+
+    @jax.jit
+    def f(flat):
+        return jax.vmap(lambda v: _rdft_one(v, plan, inverse))(flat)
+
+    return f
+
+
+def aec_rdft(x: jax.Array, inverse: bool = False) -> jax.Array:
+    """aec_rdft_forward_128 / aec_rdft_inverse_128 (aec_rdft.c:539-555)
+    on the last axis (length 128)."""
+    flat = x.reshape(-1, 128)
+    out = _aec_rdft_jit(bool(inverse))(flat)
+    return out.reshape(x.shape)
+
+
+def aec_rdft_traced(x: jax.Array, inverse: bool = False) -> jax.Array:
+    """Trace-time variant for use inside an enclosing jit."""
+    plan = _plan_aec128()
+    flat = x.reshape(-1, 128)
     out = jax.vmap(lambda v: _rdft_one(v, plan, bool(inverse)))(flat)
     return out.reshape(x.shape)
