@@ -209,3 +209,95 @@ int64_t shim_mp3_decode(const uint8_t *data, int64_t len,
     return (int64_t)m.outLen;
 }
 #endif
+
+/* ---- AEC state introspection (debug only) --------------------------------
+ * Reaches through the daemon handle (src/webrtc.c Aec_Struct, whose first
+ * member is the WebRtcAec instance pointer) into the internal structs
+ * (echo_cancellation_internal.h / aec_core_internal.h) so the parity suite
+ * can localise a divergence to a specific counter or buffer cursor. */
+#if MAKE_WEBRTC_AEC
+#include "webrtc/modules/audio_processing/aec/echo_cancellation_internal.h"
+#include "webrtc/modules/audio_processing/aec/aec_core_internal.h"
+
+void shim_aec_state(void *fp, int32_t out[32])
+{
+    Aec *pc = *(Aec **)fp;
+    AecCore *c = pc->aec;
+    out[0] = pc->startup_phase;
+    out[1] = pc->checkBuffSize;
+    out[2] = pc->counter;
+    out[3] = pc->checkBufSizeCtr;
+    out[4] = pc->bufSizeStart;
+    out[5] = pc->knownDelay;
+    out[6] = pc->filtDelay;
+    out[7] = pc->timeForDelayChange;
+    out[8] = pc->lastDelayDiff;
+    out[9] = (int32_t)WebRtc_available_read(pc->far_pre_buf);
+    out[10] = c->system_delay;
+    out[11] = c->knownDelay;
+    out[12] = c->xfBufBlockPos;
+    out[13] = c->noiseEstCtr;
+    out[14] = c->delayEstCtr;
+    out[15] = (int32_t)c->seed;
+    out[16] = c->divergeState;
+    out[17] = (int32_t)WebRtc_available_read(c->far_buf);
+    out[18] = (int32_t)WebRtc_available_read(c->nearFrBuf);
+    out[19] = (int32_t)WebRtc_available_read(c->outFrBuf);
+    out[20] = c->hNlNewMin;
+    out[21] = c->hNlMinCtr;
+    out[22] = c->delayIdx;
+    out[23] = c->stNearState;
+    out[24] = c->echoState;
+    out[25] = pc->sum;
+    out[26] = pc->firstVal;
+}
+
+/* which: 0 xPow, 1 dPow, 2 dMinPow, 3 sd, 4 se, 5 sx, 6 hNs, 7 outBuf(64),
+ * 8 dBuf(128), 9 eBuf(128), 10 xfBuf re (12*65), 11 xfBuf im,
+ * 12 wfBuf re, 13 wfBuf im, 14 xfwBuf interleaved (12*65*2),
+ * 15 floats {hNlFbMin,hNlFbLocalMin,hNlXdAvgMin,overDrive,overDriveSm},
+ * 16 sde interleaved (65*2), 17 sxd interleaved (65*2).
+ * Returns element count written. */
+int32_t shim_aec_arr(void *fp, int32_t which, float *out)
+{
+    Aec *pc = *(Aec **)fp;
+    AecCore *c = pc->aec;
+    switch (which) {
+    case 0: memcpy(out, c->xPow, sizeof(float) * PART_LEN1); return PART_LEN1;
+    case 1: memcpy(out, c->dPow, sizeof(float) * PART_LEN1); return PART_LEN1;
+    case 2: memcpy(out, c->dMinPow, sizeof(float) * PART_LEN1); return PART_LEN1;
+    case 3: memcpy(out, c->sd, sizeof(float) * PART_LEN1); return PART_LEN1;
+    case 4: memcpy(out, c->se, sizeof(float) * PART_LEN1); return PART_LEN1;
+    case 5: memcpy(out, c->sx, sizeof(float) * PART_LEN1); return PART_LEN1;
+    case 6: memcpy(out, c->hNs, sizeof(float) * PART_LEN1); return PART_LEN1;
+    case 7: memcpy(out, c->outBuf, sizeof(float) * PART_LEN); return PART_LEN;
+    case 8: memcpy(out, c->dBuf, sizeof(float) * PART_LEN2); return PART_LEN2;
+    case 9: memcpy(out, c->eBuf, sizeof(float) * PART_LEN2); return PART_LEN2;
+    case 10: memcpy(out, c->xfBuf[0],
+                    sizeof(float) * kExtendedNumPartitions * PART_LEN1);
+             return kExtendedNumPartitions * PART_LEN1;
+    case 11: memcpy(out, c->xfBuf[1],
+                    sizeof(float) * kExtendedNumPartitions * PART_LEN1);
+             return kExtendedNumPartitions * PART_LEN1;
+    case 12: memcpy(out, c->wfBuf[0],
+                    sizeof(float) * kExtendedNumPartitions * PART_LEN1);
+             return kExtendedNumPartitions * PART_LEN1;
+    case 13: memcpy(out, c->wfBuf[1],
+                    sizeof(float) * kExtendedNumPartitions * PART_LEN1);
+             return kExtendedNumPartitions * PART_LEN1;
+    case 14: memcpy(out, c->xfwBuf,
+                    sizeof(float) * kExtendedNumPartitions * PART_LEN1 * 2);
+             return kExtendedNumPartitions * PART_LEN1 * 2;
+    case 15:
+        out[0] = c->hNlFbMin; out[1] = c->hNlFbLocalMin;
+        out[2] = c->hNlXdAvgMin; out[3] = c->overDrive;
+        out[4] = c->overDriveSm;
+        return 5;
+    case 16: memcpy(out, c->sde, sizeof(float) * PART_LEN1 * 2);
+             return PART_LEN1 * 2;
+    case 17: memcpy(out, c->sxd, sizeof(float) * PART_LEN1 * 2);
+             return PART_LEN1 * 2;
+    }
+    return 0;
+}
+#endif
