@@ -263,6 +263,16 @@ def _update_psd(old, new_val, g0, g1, z):
     return gm(g0, old, z) + gm(g1, new_val, z)
 
 
+def _sel(flag, a, b):
+    """Select that folds at trace time for Python-bool flags (the
+    single-stream path) and lowers to jnp.where for traced flags (the
+    batched engine, where one compiled program covers every host-counter
+    phase)."""
+    if isinstance(flag, (bool, np.bool_)):
+        return a if flag else b
+    return jnp.where(flag, a, b)
+
+
 def process_block_kernel(dev: AecDev, xf130, xfw130, nearend, rand64,
                          block_pos, mult: int, nlp_mode: int,
                          noise_sel_init: bool, noise_gate_open: bool,
@@ -302,26 +312,27 @@ def process_block_kernel(dev: AecDev, xf130, xfw130, nearend, rand64,
     # host flags: noise_sel_init chooses dInitMinPow as noisePow and also
     # whether the ramp update runs; the >50 gate is passed via
     # update_min_pow below.
+    # The two gates are data-independent host counters.  They arrive either
+    # as Python bools (single-stream path: the selects below fold away at
+    # trace time) or as traced scalars (batched engine: one compiled
+    # program covers every counter phase).
     step = np.float32(0.1)
     ramp = np.float32(1.0002)
     lower = (d_pow + gm(step, dev.d_min_pow - d_pow, z)) * ramp
-    d_min_pow = jnp.where(d_pow < dev.d_min_pow, lower,
-                          dev.d_min_pow * ramp)
+    d_min_pow_upd = jnp.where(d_pow < dev.d_min_pow, lower,
+                              dev.d_min_pow * ramp)
+    # noiseEstCtr <= 50: no min-pow update (aec_core.c:1224-1243)
+    d_min_pow = _sel(noise_gate_open, d_min_pow_upd, dev.d_min_pow)
     gi0, gi1 = np.float32(0.999), np.float32(0.001)
     d_init_min_pow = jnp.where(
         d_min_pow > dev.d_init_min_pow,
         gm(gi0, dev.d_init_min_pow, z) + gm(gi1, d_min_pow, z),
         d_min_pow)
-    # host-controlled gates (data-independent counters)
-    if not noise_gate_open:          # noiseEstCtr <= 50: no min-pow update
-        d_min_pow = dev.d_min_pow
-        d_init_min_pow = jnp.where(
-            d_min_pow > dev.d_init_min_pow,
-            gm(gi0, dev.d_init_min_pow, z) + gm(gi1, d_min_pow, z),
-            d_min_pow)
-    if not noise_sel_init:           # ramp counter expired: no ramp update
-        d_init_min_pow = dev.d_init_min_pow
-    noise_pow = d_init_min_pow if noise_sel_init else d_min_pow
+    # ramp counter expired (noiseEstCtr >= 500*mult): no ramp update, and
+    # noisePow switches from dInitMinPow to dMinPow
+    d_init_min_pow = _sel(noise_sel_init, d_init_min_pow,
+                          dev.d_init_min_pow)
+    noise_pow = _sel(noise_sel_init, d_init_min_pow, d_min_pow)
 
     # ---- xfBuf ring: block_pos decrement handled on host; here we write
     # the new partition at block_pos (aec_core.c:1269-1280) ----
@@ -368,13 +379,15 @@ def process_block_kernel(dev: AecDev, xf130, xfw130, nearend, rand64,
 
     # PartitionDelay (aec_core.c:295-319) every delayEstInterval blocks;
     # argmax returns the first occurrence of the max, matching the strict
-    # `>` update rule
-    if update_delay_idx:
+    # `>` update rule.  With a constant-False flag XLA dead-code-eliminates
+    # the energy computation entirely.
+    if update_delay_idx is False:
+        delay_idx = dev.delay_idx
+    else:
         en = jax.vmap(lambda p: seq_sum(
             gm(p[0], p[0], z) + gm(p[1], p[1], z)))(wf_buf)
-        delay_idx = jnp.argmax(en).astype(I32)
-    else:
-        delay_idx = dev.delay_idx
+        delay_idx = _sel(update_delay_idx, jnp.argmax(en).astype(I32),
+                         dev.delay_idx)
 
     # delayed windowed far
     xfw_d_re = xfw_buf[delay_idx, 0]

@@ -1,0 +1,251 @@
+"""Batched record-path chain: NS -> AEC -> AGC -> VAD -> shm outputs.
+
+Re-expresses the daemon's per-package record heartbeat
+(`wmix_shmem_write_circle`, src/wmix.c:528-872) as one jitted device
+program over B stream slots:
+
+  mic package --NS--> --AEC(far = play delayed ~400 ms)--> --AGC-->
+  --VAD (progressive mute)--> origin package  +  1x8000 zoomed package
+
+The AEC far-end comes from the playPkgBuff FIFO quirk
+(src/wmix.c:487-526 + call order at :1461-1466): `playPkgBuff_add` runs
+before the record chain each tick, and `playPkgBuff_get(400)` with the
+22-slot FIFO returns the package from 21 ticks ago — except every 22nd
+tick, when it returns the package added *this* tick.  The FIFO lives on
+device as a [B, 22, pkg] ring; the slot index is host-mirrored.
+
+Every DSP module is the bit-exact single-stream implementation vmapped
+over the batch; chain order and the int16 casts between stages follow
+the daemon source exactly.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wmix_tpu.dsp import agc as agc_mod
+from wmix_tpu.dsp import ns as ns_mod
+from wmix_tpu.dsp import vad as vad_mod
+from wmix_tpu.engine import aec_step
+from wmix_tpu.engine.aec_plan import AecPlanner
+from wmix_tpu.ops import stepper
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+AEC_FIFO_PKG_NUM = 22     # AEC_INTERVALMS/20+2 (src/wmixConf.h:141)
+AEC_INTERVALMS = 400      # platform/alsa/plat.h:19
+
+
+class ChainState(NamedTuple):
+    ns: object                 # NsState, leaves [B, ...]
+    aec: aec_step.AecEngState
+    agc: object                # AgcState
+    vad: object                # VadState
+    play_fifo: jax.Array       # [B, 22, pkg_len] f32 (int16-valued)
+
+
+class RecordChain:
+    """B concurrent streams of the daemon record chain (mono geometry).
+
+    Enable flags mirror wmix->webrtcEnable[]; AGC gain mirrors
+    wmix->volumeAgc (default 5, src/wmix.c:1596)."""
+
+    def __init__(self, batch: int, freq: int, interval_ms: int = 20,
+                 ns_enable: bool = True, aec_enable: bool = True,
+                 agc_enable: bool = True, vad_enable: bool = True,
+                 agc_gain_db: int = 5,
+                 part_cap: int = aec_step.DEFAULT_PART_CAP):
+        assert freq % 8000 == 0 and freq <= 16000
+        self.batch = batch
+        self.freq = freq
+        self.interval_ms = interval_ms
+        self.pkg_len = freq // 1000 * interval_ms
+        self.flags = (ns_enable, aec_enable, agc_enable, vad_enable)
+        self.agc_gain_db = agc_gain_db
+        self.part_cap = part_cap
+
+        self.planner = AecPlanner(freq) if aec_enable else None
+        self.sub_len = freq // 1000 * (20 if freq <= 8000 else 10)
+        self.play_count = 0   # _playPkgBuff_count mirror
+        self.tick = 0
+
+        bcast = lambda st: jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape), st)
+        self.state = ChainState(
+            ns=bcast(ns_mod.init_state(freq)),
+            aec=aec_step.init_eng_state(batch, part_cap),
+            agc=bcast(agc_mod.init_state()),
+            vad=bcast(vad_mod.init_state()),
+            play_fifo=jnp.zeros((batch, AEC_FIFO_PKG_NUM, self.pkg_len),
+                                F32),
+        )
+        # zoom to the 1x8000 shared-memory ring: stateless per package
+        # (wmix.c:846-848), fixed gather index per geometry
+        self.zoom_idx = np.asarray(
+            stepper.zoom_src_index(freq, 8000, self.pkg_len), np.int64) \
+            if freq != 8000 else None
+
+    def _build_fn(self, aec_sig):
+        return _build_chain_fn(aec_sig, self.sub_len,
+                               self.planner.mult if self.planner else 1,
+                               self.planner.nlp_mode if self.planner else 2,
+                               self.freq, self.flags, self.agc_gain_db,
+                               None if self.zoom_idx is None
+                               else tuple(self.zoom_idx.tolist()))
+
+    def step(self, mic_pkg: np.ndarray, play_pkg: np.ndarray):
+        """One 20 ms tick.
+
+        mic_pkg/play_pkg: [B, pkg_len] int16 (mic capture and the mixed
+        output package written to the speaker this tick).
+        Returns (origin_pkg int16 [B, pkg_len], pkg_8k int16 [B, n8k],
+        vad_flags int32 [B])."""
+        add_slot, get_slot, sig, dyn = self._plan_tick()
+        fn = self._build_fn(sig)
+        self.state, origin, pkg8k, vflags = fn(
+            self.state, jnp.asarray(mic_pkg, jnp.int16),
+            jnp.asarray(play_pkg, jnp.int16),
+            jnp.int32(add_slot), jnp.int32(get_slot), dyn)
+        return origin, pkg8k, vflags
+
+    def _plan_tick(self):
+        """Host bookkeeping for one tick: FIFO slots + AEC plan."""
+        add_slot = self.play_count
+        self.play_count = (self.play_count + 1) % AEC_FIFO_PKG_NUM
+        c = self.play_count
+        g = c - (AEC_INTERVALMS // 20)
+        g = min(max(g, 0), AEC_FIFO_PKG_NUM)
+        g = c - g
+        if g >= AEC_FIFO_PKG_NUM:
+            g -= AEC_FIFO_PKG_NUM
+        elif g < 0:
+            g += AEC_FIFO_PKG_NUM
+        if self.planner is not None:
+            plan = self.planner.plan_pkg()
+            sig = plan.signature()
+            dyn = aec_step.pack_dyn(plan, self.part_cap)
+        else:
+            sig, dyn = (), {"_": np.zeros(0, np.int32)}
+        self.tick += 1
+        return add_slot, g, sig, dyn
+
+    def run_chunk(self, mic_chunk: np.ndarray, play_chunk: np.ndarray):
+        """K packages in one device dispatch (production shape).
+
+        mic_chunk/play_chunk: [K, B, pkg_len] int16.  All K packages must
+        share one plan signature (true in steady state; warm up with
+        `step` until `in_steady_state()` if needed).  Returns
+        (origin [K, B, pkg_len] int16, pkg8k [K, B, n8k] int16,
+        vad_flags [K, B] int32)."""
+        K = mic_chunk.shape[0]
+        adds, gets, dyns = [], [], []
+        sig0 = None
+        for _ in range(K):
+            a, g, sig, dyn = self._plan_tick()
+            if sig0 is None:
+                sig0 = sig
+            assert sig == sig0, "plan signature changed inside chunk"
+            adds.append(a)
+            gets.append(g)
+            dyns.append(dyn)
+        dyn_stack = {k: np.stack([d[k] for d in dyns]) for k in dyns[0]}
+        fn = _build_chain_scan_fn(
+            sig0, self.sub_len,
+            self.planner.mult if self.planner else 1,
+            self.planner.nlp_mode if self.planner else 2,
+            self.freq, self.flags, self.agc_gain_db,
+            None if self.zoom_idx is None
+            else tuple(self.zoom_idx.tolist()))
+        self.state, (origin, pkg8k, vflags) = fn(
+            self.state, jnp.asarray(mic_chunk, jnp.int16),
+            jnp.asarray(play_chunk, jnp.int16),
+            jnp.asarray(adds, jnp.int32), jnp.asarray(gets, jnp.int32),
+            dyn_stack)
+        return origin, pkg8k, vflags
+
+
+@functools.lru_cache(maxsize=None)
+def _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq, flags,
+                      agc_gain_db, zoom_idx):
+    ns_on, aec_on, agc_on, vad_on = flags
+    aec_body = aec_step.build_pkg_body(aec_sig, sub_len, mult, nlp_mode) \
+        if aec_on else None
+    zoom = None if zoom_idx is None else jnp.asarray(zoom_idx, jnp.int32)
+
+    v_ns = jax.vmap(lambda st, pkg: ns_mod.process_pkg(st, pkg, 1, freq))
+    v_agc = jax.vmap(lambda st, pkg: agc_mod.process_pkg(
+        st, pkg, 1, freq, agc_gain_db))
+    v_vad = jax.vmap(lambda st, pkg: vad_mod.process(st, pkg, 1, freq))
+
+    def fn(state: ChainState, mic_pkg, play_pkg, add_slot, get_slot, dyn):
+        x = mic_pkg.astype(I32)
+
+        ns_st, aec_st, agc_st, vad_st = (state.ns, state.aec, state.agc,
+                                         state.vad)
+        if ns_on:
+            ns_st, x = v_ns(ns_st, x)
+
+        play_fifo = state.play_fifo.at[:, add_slot].set(
+            play_pkg.astype(F32))
+        if aec_on:
+            far = play_fifo[:, get_slot]
+            aec_st, out_f = aec_body(aec_st, far, x.astype(F32), dyn)
+            # (int16_t) cast: truncate toward zero, NaN -> 0
+            out_f = jnp.where(jnp.isnan(out_f), jnp.float32(0), out_f)
+            x = jnp.trunc(out_f).astype(I32)
+            x = ((x + 0x8000) & 0xFFFF) - 0x8000
+
+        if agc_on:
+            agc_st, x = v_agc(agc_st, x)
+
+        vflags = jnp.zeros((x.shape[0],), I32)
+        if vad_on:
+            vad_st, x = v_vad(vad_st, x)
+            vflags = vad_st.reduce if hasattr(vad_st, "reduce") else vflags
+
+        origin = x.astype(jnp.int16)
+        pkg8k = origin if zoom is None else origin[:, zoom]
+        return (ChainState(ns_st, aec_st, agc_st, vad_st, play_fifo),
+                origin, pkg8k, vflags)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _build_chain_fn(aec_sig, sub_len, mult, nlp_mode, freq, flags,
+                    agc_gain_db, zoom_idx):
+    return jax.jit(_build_chain_body(aec_sig, sub_len, mult, nlp_mode,
+                                     freq, flags, agc_gain_db, zoom_idx),
+                   donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_chain_scan_fn(aec_sig, sub_len, mult, nlp_mode, freq, flags,
+                         agc_gain_db, zoom_idx):
+    """Chunked execution: lax.scan over K packages in ONE dispatch.
+
+    Steady state has a fixed plan signature, so a whole chunk of packages
+    shares one compiled body; per-package dynamics (ring positions, gate
+    flags, comfort-noise randoms, FIFO slots) ride as stacked scan inputs.
+    This is the production shape: dispatch overhead amortizes over
+    K * 20 ms of audio per device call (SURVEY.md §7 step 7)."""
+    inner = _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq,
+                              flags, agc_gain_db, zoom_idx)
+
+    def fn(state, mic_chunk, play_chunk, add_slots, get_slots, dyn_stack):
+        def body(st, xs):
+            mic, play, a, g, dyn = xs
+            st, origin, pkg8k, vflags = inner(st, mic, play, a, g, dyn)
+            return st, (origin, pkg8k, vflags)
+        state, outs = jax.lax.scan(
+            body, state, (mic_chunk, play_chunk, add_slots, get_slots,
+                          dyn_stack))
+        return state, outs
+
+    return jax.jit(fn, donate_argnums=(0,))
