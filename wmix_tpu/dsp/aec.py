@@ -336,8 +336,11 @@ def process_block_kernel(dev: AecDev, xf130, xfw130, nearend, rand64,
 
     # ---- xfBuf ring: block_pos decrement handled on host; here we write
     # the new partition at block_pos (aec_core.c:1269-1280) ----
-    xf_buf = dev.xf_buf.at[block_pos, 0].set(xf_re)
-    xf_buf = xf_buf.at[block_pos, 1].set(xf_im)
+    # dynamic_update_slice lowers to an in-place update inside loops,
+    # where the equivalent scatter tends to materialize a buffer copy
+    xf_buf = jax.lax.dynamic_update_slice(
+        dev.xf_buf, jnp.stack([xf_re, xf_im])[None],
+        (block_pos, jnp.int32(0), jnp.int32(0)))
 
     # ---- FilterFar + inverse fft -> echo estimate y ----
     yf_re, yf_im = _filter_far(xf_buf, dev.wf_buf, block_pos)
@@ -374,8 +377,9 @@ def process_block_kernel(dev: AecDev, xf130, xfw130, nearend, rand64,
     xfw_im = xfw130[PART_LEN1:]
     # buffer windowed far into history (memmove happens at the END in C;
     # the current block's xfw is written at slot 0 now and shifted later)
-    xfw_buf = dev.xfw_buf.at[0, 0].set(xfw_re)
-    xfw_buf = xfw_buf.at[0, 1].set(xfw_im)
+    xfw_buf = jax.lax.dynamic_update_slice(
+        dev.xfw_buf, jnp.stack([xfw_re, xfw_im])[None],
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
 
     # PartitionDelay (aec_core.c:295-319) every delayEstInterval blocks;
     # argmax returns the first occurrence of the max, matching the strict

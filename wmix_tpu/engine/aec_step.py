@@ -107,8 +107,10 @@ def build_pkg_body(signature, sub_len: int, mult: int, nlp_mode: int):
                 xf, xfw = vttf(seg)
                 slot = dyn["extr_slots"][ei]
                 st = st._replace(
-                    far_parts=st.far_parts.at[:, slot].set(xf),
-                    farw_parts=st.farw_parts.at[:, slot].set(xfw))
+                    far_parts=jax.lax.dynamic_update_slice_in_dim(
+                        st.far_parts, xf[:, None], slot, axis=1),
+                    farw_parts=jax.lax.dynamic_update_slice_in_dim(
+                        st.farw_parts, xfw[:, None], slot, axis=1))
                 ei += 1
 
             if startup:

@@ -191,10 +191,12 @@ def _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq, flags,
         if ns_on:
             ns_st, x = v_ns(ns_st, x)
 
-        play_fifo = state.play_fifo.at[:, add_slot].set(
-            play_pkg.astype(F32))
+        play_fifo = jax.lax.dynamic_update_slice_in_dim(
+            state.play_fifo, play_pkg.astype(F32)[:, None], add_slot,
+            axis=1)
         if aec_on:
-            far = play_fifo[:, get_slot]
+            far = jax.lax.dynamic_index_in_dim(
+                play_fifo, get_slot, axis=1, keepdims=False)
             aec_st, out_f = aec_body(aec_st, far, x.astype(F32), dyn)
             # (int16_t) cast: truncate toward zero, NaN -> 0
             out_f = jnp.where(jnp.isnan(out_f), jnp.float32(0), out_f)

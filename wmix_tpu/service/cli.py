@@ -1,0 +1,167 @@
+"""CLI mirroring srcMsg/wmixMsg.c flags (same option names, same
+return-code convention: 0 ok, <0 error, >0 task id for -k).
+
+Run as:  python -m wmix_tpu.service.cli [options] [audioPath]
+Daemon:  python -m wmix_tpu.service.daemon
+"""
+from __future__ import annotations
+
+import sys
+
+from wmix_tpu.service import client
+
+
+HELP = """Usage: wmix_tpu.cli [option] audioPath
+
+Option:
+  -l : queue mode, last position (default)
+  -i : queue mode, first position
+  -m : mix mode
+  -b : interrupt (mutex) mode
+  -t interval : loop-play interval seconds [1~255]
+  -n repeat : repeat count [1~127]
+  -d reduce : background reduce factor [1~15]
+
+  -v volume : play volume 0~10
+  -vr volume : record volume 0~10
+  -va volumeAgc : record AGC gain, needs -agc 1
+
+  -k id : kill task by id (0 clears the play list)
+  -ka : kill all play/record/fifo/rtp
+
+  -r : record wav (default 1ch/16bit/8000Hz/5s)
+  -rc chn / -rr freq / -rt time : record geometry overrides
+
+  -rtpr ip port : rtp pcma receive+play (1ch 8000Hz)
+  -rtps ip port : rtp pcma record+send (1ch 8000Hz)
+  -bind : rtp binds the port locally
+
+  -vad/-aec/-ns/-ns_pa/-agc 0|1 : webrtc module switches
+  -rw 0|1 : loopback self-test
+
+  -ctl id type : send control (1 CLEAR, 2 STOP, 3 RESET, 4 SILENCE)
+
+  -log 0|1 / -reset / -list / -info
+  -note wavPath : tap the mix bus to wav (0 stops)
+"""
+
+
+def main(argv=None) -> int:
+    args = list(sys.argv[1:] if argv is None else argv)
+    if not args or args[0] in ("-?", "--help"):
+        print(HELP)
+        return 0
+
+    order = 0
+    interval = 0
+    repeat = 0
+    reduce = 0
+    rec_chn, rec_freq, rec_time = 1, 8000, 5
+    bind = False
+    audio = None
+    record_mode = False
+
+    i = 0
+    n = len(args)
+
+    def arg(k=1):
+        nonlocal i
+        i += k
+        return args[i]
+
+    while i < n:
+        a = args[i]
+        if a == "-l":
+            order = 0
+        elif a == "-i":
+            order = 1
+        elif a == "-m":
+            order = 2
+        elif a == "-b":
+            order = -1
+        elif a == "-t":
+            interval = int(arg())
+        elif a == "-n":
+            repeat = int(arg())
+        elif a == "-d":
+            reduce = int(arg())
+        elif a == "-v":
+            client.set_volume(int(arg()))
+            return 0
+        elif a == "-vr":
+            client.set_volume_mic(int(arg()))
+            return 0
+        elif a == "-va":
+            client.set_volume_agc(int(arg()))
+            return 0
+        elif a == "-k":
+            return client.play_kill(int(arg()))
+        elif a == "-ka":
+            client.kill_all()
+            return 0
+        elif a == "-r":
+            record_mode = True
+        elif a == "-rc":
+            rec_chn = int(arg())
+        elif a == "-rr":
+            rec_freq = int(arg())
+        elif a == "-rt":
+            rec_time = int(arg())
+        elif a == "-rtpr":
+            ip = arg()
+            port = int(arg())
+            return client.rtp(ip, port, 1, 8000, send_mode=False,
+                              bind_mode=bind, reduce=reduce)
+        elif a == "-rtps":
+            ip = arg()
+            port = int(arg())
+            return client.rtp(ip, port, 1, 8000, send_mode=True,
+                              bind_mode=bind)
+        elif a == "-bind":
+            bind = True
+        elif a in ("-vad", "-aec", "-ns", "-ns_pa", "-agc"):
+            client.webrtc_switch(a[1:], bool(int(arg())))
+            return 0
+        elif a == "-rw":
+            client.rw_test(bool(int(arg())))
+            return 0
+        elif a == "-ctl":
+            tid = int(arg())
+            return client.ctrl(tid, int(arg()))
+        elif a == "-log":
+            client.log_switch(bool(int(arg())))
+            return 0
+        elif a == "-reset":
+            client.reset()
+            return 0
+        elif a == "-list":
+            for tid, note in client.list_tasks():
+                print(f"{tid}: {note}")
+            return 0
+        elif a == "-info":
+            client.info()
+            return 0
+        elif a == "-note":
+            p = arg()
+            client.note("" if p == "0" else p)
+            return 0
+        elif a.startswith("-"):
+            print(f"unknown option {a}")
+            return -1
+        else:
+            audio = a
+        i += 1
+
+    if record_mode:
+        if not audio:
+            print("record mode needs a path")
+            return -1
+        client.record(audio, rec_chn, rec_freq, rec_time)
+        return 0
+    if audio:
+        return client.play(audio, reduce, interval, repeat, order)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
