@@ -87,8 +87,10 @@ for geom in $GEOMETRIES; do
     "$REF"/src/wav.c "$REF"/src/delay.c "$REF"/src/g711codec.c \
     "$REF"/src/rtp.c "$REF"/src/webrtc.c "$REF"/src/mp3Type.c \
     "$REF"/src/aacType.c "$REF"/src/speexType.c "$REF"/math/fft.c \
+    "$REF"/ui/bmp.c "$REF"/ui/fbmap.c "$REF"/ui/wave.c \
     "$HERE"/plat_oracle/plat.c "$HERE"/shim.c "$HERE"/cpu_stub.c \
-    -I"$HERE"/plat_oracle -I"$REF"/src -I"$REF"/math -I"$INSTALL"/include \
+    -I"$HERE"/plat_oracle -I"$REF"/src -I"$REF"/math -I"$REF"/ui \
+    -I"$INSTALL"/include \
     -I"$ORACLE"/src_webrtc/webrtc_cut \
     -L"$INSTALL"/lib -Wl,-rpath,"$INSTALL"/lib \
     -DORACLE_CHN="$chn" -DORACLE_FREQ="$freq" \
