@@ -72,3 +72,31 @@ def test_aec_strong_echo():
 def test_aec_stereo():
     """Stereo wrapper extracts the left channel and duplicates output."""
     _run_parity(16000, chn=2, n_pkgs=15, seed=7)
+
+
+@requires_oracle
+def test_aec_split_far_near_api():
+    """aec_setFrameFar + aec_process must match the combined process2
+    when driven with the same data split (webrtc.c:286-395)."""
+    import ctypes as C
+    from oracle.bindings import Oracle, _ptr
+    freq = 16000
+    o = Oracle()
+    lib = o.lib
+    oaec = o.aec(chn=1, freq=freq, interval_ms=20)
+    proc = aec.AecProcessor(1, freq, interval_ms=20)
+    frame_num = freq // 1000 * 20
+    far, near = _echo_scene(15 * frame_num, freq, seed=1)
+    for i in range(15):
+        sl = slice(i * frame_num, (i + 1) * frame_num)
+        f = np.ascontiguousarray(far[sl])
+        n = np.ascontiguousarray(near[sl])
+        wout = np.zeros(frame_num, np.int16)
+        lib.aec_setFrameFar(C.c_void_p(oaec.handle), _ptr(f, C.c_int16),
+                            frame_num)
+        lib.aec_process(C.c_void_p(oaec.handle), _ptr(n, C.c_int16),
+                        _ptr(wout, C.c_int16), frame_num, 0)
+        proc.set_frame_far(f)
+        got = proc.process(n, 0)
+        bad = np.nonzero(got.astype(np.int64) != wout.astype(np.int64))[0]
+        assert bad.size == 0, f"pkg {i}: {bad.size} mism at {bad[:5]}"

@@ -922,6 +922,31 @@ class AecProcessor:
         self.pkg_frame = freq // 1000 * self.interval_ms
         self.aec = Aec(freq, nlp_mode=2)  # kAecNlpAggressive
 
+    def set_frame_far(self, far) -> None:
+        """aec_setFrameFar (src/webrtc.c:286-323): left-channel extract +
+        BufferFarend per subpackage, no Process."""
+        far = np.asarray(far).reshape(-1, self.chn)
+        for s in range(0, far.shape[0], self.pkg_frame):
+            self.aec.buffer_farend(
+                far[s:s + self.pkg_frame, 0].astype(np.float32))
+
+    def process(self, near, delay_ms: int = 0) -> np.ndarray:
+        """aec_process (src/webrtc.c:337-395): Process against far-end
+        data previously queued with set_frame_far."""
+        near = np.asarray(near).reshape(-1, self.chn)
+        frame_num = near.shape[0]
+        out = np.zeros((frame_num, self.chn), np.int16)
+        for s in range(0, frame_num, self.pkg_frame):
+            n = near[s:s + self.pkg_frame, 0].astype(np.float32)
+            res = self.aec.process(n, delay_ms)
+            with np.errstate(invalid="ignore"):
+                res_i = np.where(
+                    np.isnan(res), np.int64(0),
+                    np.trunc(np.asarray(res, np.float64)).astype(np.int64))
+            res_i = ((res_i + 0x8000) & 0xFFFF) - 0x8000
+            out[s:s + self.pkg_frame] = res_i[:, None].astype(np.int16)
+        return out.reshape(-1)
+
     def process2(self, far, near, delay_ms: int = 0) -> np.ndarray:
         """aec_process2: BufferFarend + Process per subpackage."""
         far = np.asarray(far).reshape(-1, self.chn)
