@@ -76,6 +76,20 @@ if [ ! -f "$INSTALL/lib/libwebrtcaec_c.so" ]; then
     -I"$WCUT" -DWEBRTC_POSIX -lpthread -lm
 fi
 
+# ---- 4d. libmad internals probes (-Dstatic=) for the MP3 decoder's
+# per-function parity tests ----
+if [ ! -f "$ORACLE/libmad_probe_l3.so" ]; then
+  rm -rf "$ORACLE/madsrc" && mkdir -p "$ORACLE/madsrc"
+  tar -xzf "$REF/pkg/libmad-0.15.1b.tar.gz" -C "$ORACLE/madsrc"
+  ( cd "$ORACLE/madsrc/libmad-0.15.1b"
+    ./configure --enable-speed >/dev/null 2>&1 || true
+    gcc -fPIC -shared -o "$ORACLE/libmad_probe_l3.so" -Dstatic= -Dinline= \
+      layer3.c huffman.c bit.c fixed.c -DFPM_DEFAULT -DOPT_SPEED \
+      -DHAVE_CONFIG_H -I.
+    gcc -fPIC -shared -o "$ORACLE/libmad_probe_synth.so" -Dstatic= -Dinline= \
+      synth.c fixed.c -DFPM_DEFAULT -DOPT_SPEED -DHAVE_CONFIG_H -I. )
+fi
+
 # ---- 5. reference core + shim, one .so per engine geometry ----
 for geom in $GEOMETRIES; do
   chn=${geom%x*}
