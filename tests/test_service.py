@@ -215,3 +215,20 @@ def test_record_chain_with_webrtc_enabled(daemon):
     client.webrtc_switch("vad", False)
     d.pump(1)
     assert d._webrtc[0] is None and d._webrtc[2] is None
+
+
+def test_play_mp3_task(daemon, tmp_path):
+    """MP3 playback through the daemon: decode (bit-exact codec) ->
+    resample into the engine geometry -> speaker."""
+    d, hal = daemon
+    import shutil
+    mp3_path = tmp_path / "clip.mp3"
+    shutil.copyfile("/root/reference/audio/2x44100.mp3", mp3_path)
+    tid = client.play(str(mp3_path), order=2)
+    assert tid > 0
+    # the decode is offline (~4 min full file); just verify audio starts
+    # flowing, then kill the task
+    assert _pump_until(d, lambda: np.any(
+        np.frombuffer(bytes(hal.played), np.int16) != 0), max_ticks=3000)
+    client.play_kill(tid)
+    assert _pump_until(d, lambda: d.thread_play == 0, max_ticks=3000)

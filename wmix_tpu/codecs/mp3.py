@@ -1107,8 +1107,20 @@ class Mp3Decoder:
     def decode(self, data: bytes, max_frames: Optional[int] = None):
         """Returns (pcm int16 interleaved, samplerate, channels)."""
         out = []
-        samplerate = 0
-        channels = 0
+        samplerate = channels = 0
+        for pcm, sr, ch in self.frames(data, max_frames):
+            out.append(pcm)
+            samplerate, channels = sr, ch
+        if not out:
+            return np.zeros(0, np.int16), samplerate, channels
+        pcm = np.concatenate(out, axis=1)
+        return pcm.T.reshape(-1).copy(), samplerate, channels
+
+    def frames(self, data: bytes, max_frames: Optional[int] = None):
+        """Incremental decode: yields (pcm [nch, n] int16, rate, nch)
+        per frame — playback can start before the file finishes (the
+        daemon's mad_output flow loads the ring per frame,
+        wmixTask.c:1847-1950)."""
         pos = 0
         end = len(data)
         nframes = 0
@@ -1144,17 +1156,11 @@ class Mp3Decoder:
 
             ok = self._decode_frame(data, b, h, pos, next_frame)
             if ok:
-                samplerate = h.samplerate
-                channels = h.nchannels
                 nframes += 1
-                out.append(self._pcm_frame(h))
+                yield self._pcm_frame(h), h.samplerate, h.nchannels
                 if max_frames and nframes >= max_frames:
                     break
             pos = next_frame
-        if not out:
-            return np.zeros(0, np.int16), samplerate, channels
-        pcm = np.concatenate(out, axis=1)
-        return pcm.T.reshape(-1).copy(), samplerate, channels
 
     def _pcm_frame(self, h: Header) -> np.ndarray:
         nch = h.nchannels

@@ -124,7 +124,8 @@ def load_task(wmix, mtype: int, value: bytes):
             if ext == "aac":
                 _play_unsupported(wmix, audio_path, "aac")
             elif ext == "mp3":
-                _play_unsupported(wmix, audio_path, "mp3")
+                play_mp3(wmix, audio_path, tm, reduce, interval, repeat,
+                         loop_word)
             else:
                 play_wav(wmix, audio_path, tm, reduce, interval, repeat,
                          loop_word)
@@ -138,11 +139,165 @@ def load_task(wmix, mtype: int, value: bytes):
 
 
 def _play_unsupported(wmix, path, kind):
-    try:
-        from wmix_tpu.codecs import mp3 as mp3c  # noqa: F401
-    except ImportError:
-        pass
     print(f"wmix-tpu: {kind} playback for {path} pending codec port")
+
+
+def play_mp3(wmix, mp3_path: str, tm, reduce: int, interval: int,
+             repeat: int, loop_word: int):
+    """wmix_task_play_mp3 (src/wmixTask.c:2022-2102): id3 skip + libmad
+    decode (bit-exact codecs.mp3) streamed into the mix ring with the
+    same pacing/repeat discipline as the wav player."""
+    from wmix_tpu.codecs import adts
+    from wmix_tpu.codecs import mp3 as mp3c
+    try:
+        with open(mp3_path, "rb") as f:
+            data = f.read()
+    except OSError as e:
+        print(f"wmix-tpu: mp3 open {mp3_path} failed: {e}")
+        return
+    data = data[adts.id3_len(data):]
+
+    reduce += 1
+    reduce_skip = False
+    if reduce > 1 and wmix.reduce_mode == 1:
+        wmix.reduce_mode = reduce
+        reduce_skip = True
+    else:
+        reduce = 1
+    head, tick = 0, 0
+    total_wait = wmix.cfg.frame_size * wmix.cfg.freq // 4
+    try:
+        while wmix.run and loop_word == wmix.loop_word:
+            dec = mp3c.Mp3Decoder()
+            played_any = False
+            for pcm, freq, chn in dec.frames(bytes(data)):
+                tm.poll()
+                timeout = 0
+                while (wmix.run and timeout < 200 and
+                       loop_word == wmix.loop_word and
+                       tick > wmix.tick and
+                       tick - wmix.tick > total_wait):
+                    timeout += 1
+                    time.sleep(0.005)
+                if not wmix.run or loop_word != wmix.loop_word:
+                    return
+                chunk = pcm.T.reshape(-1).tobytes()
+                head, tick = wmix.load_data(chunk, freq, chn, 16, head,
+                                            reduce, tick)
+                played_any = True
+                if head == 0:
+                    return
+            if not played_any:
+                return
+            if repeat > 0:
+                if repeat == 1:
+                    return
+                repeat -= 1
+                if interval < 1:
+                    interval = 1
+            if interval > 0:
+                if reduce_skip and wmix.reduce_mode == reduce:
+                    wmix.reduce_mode = 1
+                waited = 0
+                while waited < interval * 1000:
+                    time.sleep(0.1)
+                    waited += 100
+                    if not wmix.run or loop_word != wmix.loop_word:
+                        return
+                    tm.poll()
+                if reduce_skip and wmix.reduce_mode == 1:
+                    wmix.reduce_mode = reduce
+                head, tick = wmix.head_off, 0
+            else:
+                return
+    except _Killed:
+        pass
+    finally:
+        if reduce_skip and wmix.reduce_mode == reduce:
+            wmix.reduce_mode = 1
+
+
+def _play_pcm_stream(wmix, pcm: bytes, freq: int, chn: int, sample: int,
+                     tm, reduce: int, interval: int, repeat: int,
+                     loop_word: int):
+    """Shared streaming body: chunked load_data with play-cursor pacing
+    and the repeat/interval loop (mirrors wmix_task_play_wav)."""
+    reduce += 1
+    reduce_skip = False
+    if reduce > 1 and wmix.reduce_mode == 1:
+        wmix.reduce_mode = reduce
+        reduce_skip = True
+    else:
+        reduce = 1
+    bps = chn * sample // 8 * freq
+    buff_size = bps
+    buff_size2 = wmix.cfg.frame_size * wmix.cfg.freq
+    if freq % 4 == 0:
+        buff_size //= 4
+        buff_size2 //= 4
+        total_wait = buff_size2
+    elif freq % 3 == 0:
+        buff_size //= 3
+        buff_size2 //= 3
+        total_wait = buff_size2
+    else:
+        buff_size //= 2
+        buff_size2 //= 2
+        total_wait = buff_size2 // 2
+    head, tick = 0, 0
+    pos = 0
+    interval_ms = interval * 1000
+    try:
+        while wmix.run and loop_word == wmix.loop_word:
+            tm.poll()
+            chunk = pcm[pos:pos + buff_size]
+            pos += len(chunk)
+            if chunk:
+                timeout = 0
+                while (wmix.run and timeout < 200 and
+                       loop_word == wmix.loop_word and
+                       tick > wmix.tick and
+                       tick - wmix.tick > total_wait):
+                    timeout += 1
+                    time.sleep(0.005)
+                if not wmix.run or loop_word != wmix.loop_word:
+                    break
+                head, tick = wmix.load_data(chunk, freq, chn, sample,
+                                            head, reduce, tick)
+                if head == 0:
+                    break
+            elif interval > 0 or repeat > 0:
+                if repeat > 0:
+                    if repeat == 1:
+                        break
+                    repeat -= 1
+                    if interval < 1:
+                        interval = 1
+                        interval_ms = 1000
+                if reduce_skip and wmix.reduce_mode == reduce:
+                    wmix.reduce_mode = 1
+                pos = 0
+                waited = 0
+                aborted = False
+                while waited < interval_ms:
+                    time.sleep(0.1)
+                    waited += 100
+                    if not wmix.run or loop_word != wmix.loop_word:
+                        aborted = True
+                        break
+                    tm.poll()
+                if aborted:
+                    break
+                if reduce_skip and wmix.reduce_mode == 1:
+                    wmix.reduce_mode = reduce
+                head, tick = wmix.head_off, 0
+            else:
+                break
+    except _Killed:
+        pass
+    finally:
+        if reduce_skip and wmix.reduce_mode == reduce:
+            wmix.reduce_mode = 1
 
 
 # ---------------------------------------------------------------------
