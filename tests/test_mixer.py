@@ -122,3 +122,45 @@ def test_long_load_wraps_ring_multiple_times():
     want, got = _run_both(1, 8000, src, 8000, 1)
     assert want[0] == got[0] and want[1] == got[1]
     assert np.array_equal(want[2], got[2])
+
+
+@requires_oracle
+def test_config1_fixture_two_wav_mix():
+    """BASELINE config 1: audio/1x8000.wav + audio/2x16000.wav mixed into
+    a 2x16000 engine (resample + channel map + saturating sum), ring
+    bit-equal to the reference mixer fed the same streams."""
+    from oracle.bindings import Oracle
+    from wmix_tpu.codecs import wav as wavc
+
+    h1, pcm1 = wavc.read("/root/reference/audio/1x8000.wav")
+    h2, pcm2 = wavc.read("/root/reference/audio/2x16000.wav")
+
+    o = Oracle(2, 16000)
+    cfg = EngineConfig(chn=2, freq=16000)
+    ring_c = np.zeros(cfg.buff_size + 4, np.uint8)
+    ring_py = np.zeros((cfg.ring_frames, cfg.chn), np.int16)
+
+    # two streams interleave chunked loads like two daemon play tasks
+    chunk1 = h1.bytes_per_second // 4
+    chunk2 = h2.bytes_per_second // 4
+    st = {"c_head1": -1, "c_tick1": 0, "p_head1": -1, "p_tick1": 0,
+          "c_head2": -1, "c_tick2": 0, "p_head2": -1, "p_tick2": 0}
+    for i in range(8):
+        for tag, pcm, hdr, chunk in (("1", pcm1, h1, chunk1),
+                                     ("2", pcm2, h2, chunk2)):
+            seg = pcm[i * chunk:(i + 1) * chunk]
+            if not seg:
+                continue
+            st[f"c_head{tag}"], st[f"c_tick{tag}"] = o.load_data(
+                ring_c, st[f"c_head{tag}"], 0, 0, 1, seg,
+                hdr.sample_rate, hdr.channels, 16, 0,
+                st[f"c_tick{tag}"])
+            st[f"p_head{tag}"], st[f"p_tick{tag}"] = mixer.load_data(
+                cfg, ring_py, st[f"p_head{tag}"], 0, 0, 1, seg,
+                hdr.sample_rate, hdr.channels, 16, 0,
+                st[f"p_tick{tag}"])
+    want = ring_c[:cfg.buff_size].view(np.int16)
+    got = ring_py.reshape(-1)
+    bad = np.nonzero(want != got)[0]
+    assert bad.size == 0, f"{bad.size} ring mismatches at {bad[:5]}"
+    assert np.abs(want.astype(np.int32)).sum() > 0, "silent mix?"
