@@ -29,6 +29,7 @@ uses (wmixTask.c:1809-2102), including its PCM rounding/clip
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -921,6 +922,25 @@ def imdct_s(X: np.ndarray) -> np.ndarray:
 # polyphase synthesis (synth.c:547-660, OPT_SSO)
 # ---------------------------------------------------------------------
 
+_KOFFS = np.array([0, 14, 12, 10, 8, 6, 4, 2])
+_ROWS = np.arange(1, 16)[:, None] * 32       # [15,1]
+
+
+@lru_cache(maxsize=None)
+def _d_mats(phase: int):
+    """Per-phase D-window gather matrices (int32) for the synth MACs."""
+    D = T.D_TABLE
+    pe = phase & ~1
+    po = ((phase - 1) & 0xF) | 1
+    return (D[0 * 32 + po + _KOFFS].astype(I32),        # row0 odd-x
+            D[0 * 32 + pe + _KOFFS].astype(I32),        # row0 even
+            D[_ROWS + po + _KOFFS].astype(I32),         # [15,8] fo side
+            D[_ROWS + pe + _KOFFS].astype(I32),         # [15,8] fe side
+            D[_ROWS - pe + 31 - _KOFFS].astype(I32),    # [15,8] mirrored fe
+            D[_ROWS - po + 31 - _KOFFS].astype(I32),    # [15,8] mirrored fo
+            D[16 * 32 + po + _KOFFS].astype(I32))       # last row
+
+
 class Synth:
     """mad_synth: filter FIFO [2][2][2][16][8] + phase."""
 
@@ -929,55 +949,38 @@ class Synth:
         self.phase = 0
 
     def frame(self, sbsample: np.ndarray, nch: int, ns: int) -> np.ndarray:
-        """synth_full: sbsample [2][36][32] int32 -> pcm [nch, 32*ns]."""
+        """synth_full: sbsample [2][36][32] int32 -> pcm [nch, 32*ns].
+
+        dct32 is batched over all ns slots; the windowing MACs run as
+        [15,8] row-dots per slot (bit-identical int32 arithmetic — sums
+        of int32 products wrap the same in any association since
+        wraparound addition is associative)."""
         from wmix_tpu.codecs._mp3_dct32 import dct32
-        D = T.D_TABLE            # flat [17*32]
         pcm = np.zeros((nch, 32 * ns), I32)
         for ch in range(nch):
+            HI, LO = dct32(sbsample[ch].T)   # [16, ns] each
             filt = self.filter[ch]
             phase = self.phase
             out_i = 0
             for s in range(ns):
-                hi, lo = dct32(sbsample[ch, s])
-                filt[0, phase & 1, :, phase >> 1] = lo
-                filt[1, phase & 1, :, phase >> 1] = hi
+                filt[0, phase & 1, :, phase >> 1] = LO[:, s]
+                filt[1, phase & 1, :, phase >> 1] = HI[:, s]
 
-                pe = phase & ~1
-                po = ((phase - 1) & 0xF) | 1
-
+                d0o, d0e, dfo, dfe, dme, dmo, dlast = _d_mats(phase)
                 fe = filt[0, phase & 1]        # [16][8]
                 fx = filt[0, (~phase) & 1]
                 fo = filt[1, (~phase) & 1]
 
-                koffs = np.array([0, 14, 12, 10, 8, 6, 4, 2])
-                # row 0
-                acc = I32(-(fx[0] * D[0 * 32 + po + koffs]
-                            .astype(I32)).sum())
-                acc = I32(acc + (fe[0] * D[0 * 32 + pe + koffs]
-                                 .astype(I32)).sum())
-                pcm[ch, out_i] = acc >> 2
-
-                p1 = out_i + 1
-                p2 = out_i + 31
-                for sb in range(1, 16):
-                    row = sb * 32
-                    acc = I32(-(fo[sb - 1] * D[row + po + koffs]
-                                .astype(I32)).sum())
-                    acc = I32(acc + (fe[sb] * D[row + pe + koffs]
-                                     .astype(I32)).sum())
-                    pcm[ch, p1] = acc >> 2
-                    p1 += 1
-
-                    acc = I32((fe[sb] * D[row - pe + 31 - koffs]
-                               .astype(I32)).sum())
-                    acc = I32(acc + (fo[sb - 1] * D[row - po + 31 - koffs]
-                                     .astype(I32)).sum())
-                    pcm[ch, p2] = acc >> 2
-                    p2 -= 1
-
-                acc = I32((fo[15] * D[16 * 32 + po + koffs]
-                           .astype(I32)).sum())
-                pcm[ch, out_i + 16] = I32(-acc) >> 2
+                pcm[ch, out_i] = I32(
+                    I32((fe[0] * d0e).sum()) - I32((fx[0] * d0o).sum())
+                ) >> 2
+                fwd = ((fe[1:] * dfe).sum(axis=1) -
+                       (fo[:15] * dfo).sum(axis=1)).astype(I32)
+                pcm[ch, out_i + 1:out_i + 16] = fwd >> 2
+                rev = ((fe[1:] * dme).sum(axis=1) +
+                       (fo[:15] * dmo).sum(axis=1)).astype(I32)
+                pcm[ch, out_i + 31:out_i + 16:-1] = rev >> 2
+                pcm[ch, out_i + 16] =                     I32(-I32((fo[15] * dlast).sum())) >> 2
 
                 out_i += 32
                 phase = (phase + 1) % 16
