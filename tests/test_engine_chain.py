@@ -119,3 +119,45 @@ def test_chunked_scan_matches_stepwise():
 
     for k in range(K):
         assert np.array_equal(origin[k], outs_a[warm + k]), f"chunk pkg {k}"
+
+
+def test_chunked_scan_8k_alternating_signatures():
+    """At 8 kHz the AEC plan alternates between two signatures;
+    run_chunk must group runs and still match stepwise exactly."""
+    freq, B, warm, K = 8000, 2, 6, 6
+    pkg = freq // 1000 * 20
+    rng = np.random.RandomState(5)
+    n = (warm + K) * pkg
+    mic = (rng.randn(B, n) * 3000).astype(np.int16)
+    play = (rng.randn(B, n) * 5000).astype(np.int16)
+    a = RecordChain(B, freq)
+    b = RecordChain(B, freq)
+    outs_a = []
+    for i in range(warm + K):
+        sl = slice(i * pkg, (i + 1) * pkg)
+        o, _, _ = a.step(mic[:, sl], play[:, sl])
+        outs_a.append(np.asarray(o))
+    for i in range(warm):
+        sl = slice(i * pkg, (i + 1) * pkg)
+        b.step(mic[:, sl], play[:, sl])
+    mic_c = mic[:, warm * pkg:].reshape(B, K, pkg).transpose(1, 0, 2)
+    play_c = play[:, warm * pkg:].reshape(B, K, pkg).transpose(1, 0, 2)
+    origin, _, _ = b.run_chunk(mic_c, play_c)
+    origin = np.asarray(origin)
+    for k in range(K):
+        assert np.array_equal(origin[k], outs_a[warm + k]), f"pkg {k}"
+
+
+def test_chain_32k_ns_agc_vad():
+    """32 kHz record chain: AEC is rate-gated off (wmix.c:633), the
+    rest of the chain runs."""
+    freq, B = 32000, 2
+    pkg = freq // 1000 * 20
+    rng = np.random.RandomState(6)
+    c = RecordChain(B, freq)
+    assert c.planner is None
+    mic = (rng.randn(B, pkg) * 3000).astype(np.int16)
+    play = (rng.randn(B, pkg) * 3000).astype(np.int16)
+    o, p8, v = c.step(mic, play)
+    assert np.asarray(o).shape == (B, pkg)
+    assert np.asarray(p8).shape == (B, 160)   # 20 ms at 1x8000

@@ -61,7 +61,11 @@ class RecordChain:
                  agc_enable: bool = True, vad_enable: bool = True,
                  agc_gain_db: int = 5,
                  part_cap: int = aec_step.DEFAULT_PART_CAP):
-        assert freq % 8000 == 0 and freq <= 16000
+        # the daemon's module rate guards (src/wmix.c:615-699): AEC only
+        # to 16 kHz; NS/AGC/VAD to 32 kHz
+        if freq > 16000:
+            aec_enable = False
+        assert freq % 8000 == 0 and freq <= 32000
         self.batch = batch
         self.freq = freq
         self.interval_ms = interval_ms
@@ -138,35 +142,49 @@ class RecordChain:
     def run_chunk(self, mic_chunk: np.ndarray, play_chunk: np.ndarray):
         """K packages in one device dispatch (production shape).
 
-        mic_chunk/play_chunk: [K, B, pkg_len] int16.  All K packages must
-        share one plan signature (true in steady state; warm up with
-        `step` until `in_steady_state()` if needed).  Returns
-        (origin [K, B, pkg_len] int16, pkg8k [K, B, n8k] int16,
-        vad_flags [K, B] int32)."""
+        mic_chunk/play_chunk: [K, B, pkg_len] int16.  Packages are
+        grouped into consecutive same-signature runs (at 16 kHz steady
+        state that is one run; at 8 kHz the plan alternates between two
+        signatures, giving two compiled programs that each serve every
+        other package).  Returns (origin [K, B, pkg_len] int16,
+        pkg8k [K, B, n8k] int16, vad_flags [K, B] int32)."""
         K = mic_chunk.shape[0]
-        adds, gets, dyns = [], [], []
-        sig0 = None
-        for _ in range(K):
-            a, g, sig, dyn = self._plan_tick()
-            if sig0 is None:
-                sig0 = sig
-            assert sig == sig0, "plan signature changed inside chunk"
-            adds.append(a)
-            gets.append(g)
-            dyns.append(dyn)
-        dyn_stack = {k: np.stack([d[k] for d in dyns]) for k in dyns[0]}
-        fn = _build_chain_scan_fn(
-            sig0, self.sub_len,
-            self.planner.mult if self.planner else 1,
-            self.planner.nlp_mode if self.planner else 2,
-            self.freq, self.flags, self.agc_gain_db,
-            None if self.zoom_idx is None
-            else tuple(self.zoom_idx.tolist()))
-        self.state, (origin, pkg8k, vflags) = fn(
-            self.state, jnp.asarray(mic_chunk, jnp.int16),
-            jnp.asarray(play_chunk, jnp.int16),
-            jnp.asarray(adds, jnp.int32), jnp.asarray(gets, jnp.int32),
-            dyn_stack)
+        plans = [self._plan_tick() for _ in range(K)]
+
+        # group consecutive equal signatures
+        runs = []
+        for i, (a, g, sig, dyn) in enumerate(plans):
+            if runs and runs[-1][0] == sig:
+                runs[-1][1].append(i)
+            else:
+                runs.append((sig, [i]))
+        # at 8 kHz signatures alternate pkg-by-pkg: scan over 2-pkg
+        # super-units instead by pairing runs — handled naturally since
+        # each run is then length 1 and the jit cache holds 2 variants
+        origins, pkg8ks, vflagss = [], [], []
+        for sig, idxs in runs:
+            dyns = [plans[i][3] for i in idxs]
+            dyn_stack = {k: np.stack([d[k] for d in dyns])
+                         for k in dyns[0]}
+            fn = _build_chain_scan_fn(
+                sig, self.sub_len,
+                self.planner.mult if self.planner else 1,
+                self.planner.nlp_mode if self.planner else 2,
+                self.freq, self.flags, self.agc_gain_db,
+                None if self.zoom_idx is None
+                else tuple(self.zoom_idx.tolist()))
+            self.state, (o, p8, vf) = fn(
+                self.state, jnp.asarray(mic_chunk[idxs], jnp.int16),
+                jnp.asarray(play_chunk[idxs], jnp.int16),
+                jnp.asarray([plans[i][0] for i in idxs], jnp.int32),
+                jnp.asarray([plans[i][1] for i in idxs], jnp.int32),
+                dyn_stack)
+            origins.append(o)
+            pkg8ks.append(p8)
+            vflagss.append(vf)
+        origin = jnp.concatenate(origins, axis=0)
+        pkg8k = jnp.concatenate(pkg8ks, axis=0)
+        vflags = jnp.concatenate(vflagss, axis=0)
         return origin, pkg8k, vflags
 
 
