@@ -145,6 +145,13 @@ def main(argv=None) -> int:
             p = arg()
             client.note("" if p == "0" else p)
             return 0
+        elif a == "-console":
+            client.console(arg())
+            return 0
+        elif a == "-fft":
+            p = arg()
+            client.fft("" if p == "0" else p)
+            return 0
         elif a.startswith("-"):
             print(f"unknown option {a}")
             return -1

@@ -185,6 +185,17 @@ def mem_switch(on: bool) -> None:
     _send(core.WMT_MEM_SW, bytes((1 if on else 0,)))
 
 
+def console(path: str) -> None:
+    """wmix_console client call (wmix_user.c:766-796)."""
+    _send(core.WMT_CONSOLE, path.encode() + b"\0")
+
+
+def fft(path: str) -> None:
+    """wmix_fft (wmix_user.c:896-908): request the FFT display; the
+    reference daemon's handler is a stub, mirrored as such."""
+    _send(core.WMT_FFT, (path.encode() + b"\0") if path else b"\0")
+
+
 def list_tasks() -> list:
     """wmix_list (wmix_user.c:830-876): read /tmp/wmix/<id> notes."""
     out = []

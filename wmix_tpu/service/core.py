@@ -300,7 +300,15 @@ class WmixDaemon:
             self.debug = bool(value[0])
         elif t == WMT_INFO:
             print(self.info())
-        # WMT_FFT / WMT_CONSOLE / AAC+MP3 task types handled as they land
+        elif t == WMT_CONSOLE:
+            self.console(value.split(b"\0", 1)[0].decode())
+        elif t == WMT_FFT:
+            # the reference's WMT_FFT handler is a stub: only the "close"
+            # path does anything, and even that is a no-op flag clear
+            # (src/wmix.c:1124-1137); mirrored as a no-op
+            pass
+        # AAC task types (WMT_RECORD_AAC/WMT_RTP_*_AAC/WMT_FIFO_AAC) land
+        # with the AAC codec (docs/aac-plan.md)
 
     def _note_ctl(self, value: bytes):
         """WMT_NOTE (src/wmix.c:1100-1123): tap the play stream to wav."""
@@ -318,6 +326,27 @@ class WmixDaemon:
         f.flush()
         self.note_fd = f
         self.note_path = path
+
+    def console(self, path: str):
+        """wmix_console (src/wmix.c:231-266): redirect stdout to a tty
+        (truncate mode) or a file (append)."""
+        import sys
+        if not path:
+            return
+        if path.startswith("/dev/"):
+            if not os.path.exists(path):
+                print(f"wmix_console: {path} not exist !!")
+                return
+            mode = "w"
+        else:
+            try:
+                open(path, "a+").close()
+            except OSError:
+                print(f"wmix_console: file {path} open faile !!")
+                return
+            mode = "a+"
+        print(f"wmix_console: point to {path}")
+        sys.stdout = open(path, mode, buffering=1)
 
     def info(self) -> str:
         """WMT_INFO text (src/wmix.c:1164-1214)."""
