@@ -108,10 +108,15 @@ class PkgPlan(NamedTuple):
     subs: Tuple[SubPlan, ...]
 
     def signature(self):
-        """Static structure: keys the jit cache."""
+        """Static structure: keys the jit cache.  update_delay_idx is
+        static (it fires one block in 10*mult — baking it into the
+        signature lets XLA dead-code-eliminate the 12x65 partition-energy
+        folds from every other block; the position cycles through a
+        handful of per-package patterns, bounding the variant count)."""
         return tuple(
             (len(s.extractions), s.startup,
-             tuple(len(f.blocks) for f in s.frames))
+             tuple(tuple((len(f.blocks), b.update_delay_idx)
+                         for b in f.blocks) for f in s.frames))
             for s in self.subs)
 
 

@@ -84,11 +84,12 @@ def build_pkg_body(signature, sub_len: int, mult: int, nlp_mode: int):
     fn(state, far_pkg[B,n] f32, near_pkg[B,n] f32, dyn) -> (state, out),
     for composition into larger traced programs (the full record chain)."""
 
-    vblock = jax.vmap(
-        lambda dev, xf, xfw, near, rand, pos, f0, f1, f2:
-        process_block_kernel(dev, xf, xfw, near, rand, pos, mult, nlp_mode,
-                             f0, f1, f2),
-        in_axes=(0, 0, 0, 0, None, None, None, None, None))
+    def vblock(dev, xf, xfw, near, rand, pos, f0, f1, upd_static):
+        return jax.vmap(
+            lambda d, a, b, c:
+            process_block_kernel(d, a, b, c, rand, pos, mult, nlp_mode,
+                                 f0, f1, bool(upd_static)),
+            in_axes=(0, 0, 0, 0))(dev, xf, xfw, near)
     vttf = jax.vmap(time_to_frequency_pair)
 
     def fn(st: AecEngState, far_pkg, near_pkg, dyn):
@@ -118,11 +119,11 @@ def build_pkg_body(signature, sub_len: int, mult: int, nlp_mode: int):
                 continue
 
             sub_out = []
-            for fj, nblk in enumerate(blk_counts):
+            for fj, blocks_sig in enumerate(blk_counts):
                 st = st._replace(near_fr=_ring_write(
                     st.near_fr, dyn["frame_near"][fi],
                     nearsub[:, fj * FRAME_LEN:(fj + 1) * FRAME_LEN]))
-                for _ in range(nblk):
+                for _nb, upd_static in blocks_sig:
                     xf = st.far_parts[:, dyn["blk_far"][bi]]
                     xfw = st.farw_parts[:, dyn["blk_far"][bi]]
                     near64 = _ring_read(st.near_fr, dyn["blk_near"][bi],
@@ -132,7 +133,7 @@ def build_pkg_body(signature, sub_len: int, mult: int, nlp_mode: int):
                         dyn["blk_xf"][bi],
                         dyn["blk_flags"][bi, 0] != 0,
                         dyn["blk_flags"][bi, 1] != 0,
-                        dyn["blk_flags"][bi, 2] != 0)
+                        upd_static)
                     st = st._replace(
                         dev=dev,
                         out_fr=_ring_write(st.out_fr, dyn["blk_out"][bi],
