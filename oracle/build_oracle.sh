@@ -90,6 +90,58 @@ if [ ! -f "$ORACLE/libmad_probe_l3.so" ]; then
       synth.c fixed.c -DFPM_DEFAULT -DOPT_SPEED -DHAVE_CONFIG_H -I. )
 fi
 
+# ---- 4e. faad2/faac internals probes (-Dstatic=) for the AAC codec's
+# per-stage parity tests (same method as the libmad probes) ----
+if [ ! -f "$ORACLE/libfaad_probe.so" ]; then
+  rm -rf "$ORACLE/faadsrc" && mkdir -p "$ORACLE/faadsrc"
+  tar -xzf "$REF/pkg/faad2-2.8.8.tar.gz" -C "$ORACLE/faadsrc"
+  ( cd "$ORACLE/faadsrc/faad2-2.8.8"
+    ./configure >/dev/null 2>&1 || true
+    cd libfaad
+    # LC-only probe (the wmix fixtures are plain AAC-LC; SBR/PS would pull
+    # in dozens more files): unity build so -Dstatic= can't create
+    # duplicate symbols from header-inline helpers
+    sed -i 's|^#define SBR_DEC|//#define SBR_DEC|; s|^#define PS_DEC|//#define PS_DEC|' common.h
+    # neutralize INLINE: plain C99 `inline` without static emits no extern
+    # definition, leaving undefined symbols in the -Dstatic= probe
+    sed -i 's|^#define INLINE __inline$|#define INLINE|; s|^#define INLINE inline$|#define INLINE|' common.h
+    cat > _probe_unity.c <<'UNITY'
+#include "bits.c"
+#include "common.c"
+#include "decoder.c"
+#include "syntax.c"
+#include "specrec.c"
+#include "huffman.c"
+#include "pulse.c"
+#include "tns.c"
+#include "ms.c"
+#include "is.c"
+#include "pns.c"
+#include "filtbank.c"
+#include "mdct.c"
+#include "cfft.c"
+#include "output.c"
+#include "drc.c"
+#include "error.c"
+#include "mp4.c"
+UNITY
+    gcc -fPIC -shared -o "$ORACLE/libfaad_probe.so" -Dstatic= \
+      -DLC_ONLY_DECODER _probe_unity.c \
+      -I. -I../include -DHAVE_CONFIG_H -I.. -lm 2> "$ORACLE/faad_probe.log" \
+      || echo "faad probe build failed (see faad_probe.log)" )
+fi
+if [ ! -f "$ORACLE/libfaac_probe.so" ]; then
+  rm -rf "$ORACLE/faacsrc" && mkdir -p "$ORACLE/faacsrc"
+  tar -xzf "$REF/pkg/faac-1.29.9.2.tar.gz" -C "$ORACLE/faacsrc"
+  ( cd "$ORACLE/faacsrc"/faac-*
+    ./configure >/dev/null 2>&1 || true
+    cd libfaac
+    gcc -fPIC -shared -o "$ORACLE/libfaac_probe.so" -Dstatic= \
+      *.c -I. -I../include -DHAVE_CONFIG_H -I.. -lm \
+      2> "$ORACLE/faac_probe.log" \
+      || echo "faac probe build failed (see faac_probe.log)" )
+fi
+
 # ---- 5. reference core + shim, one .so per engine geometry ----
 for geom in $GEOMETRIES; do
   chn=${geom%x*}

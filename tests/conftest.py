@@ -37,6 +37,13 @@ jax.config.update("jax_enable_x64", True)
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: long-running parity suite (minutes); deselect with "
+        "-m 'not heavy' for the fast tier")
+
+
 def _oracle_available() -> bool:
     try:
         from oracle import bindings

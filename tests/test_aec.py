@@ -8,6 +8,9 @@ from tests.conftest import requires_oracle
 from wmix_tpu.dsp import aec  # noqa: E402
 
 
+pytestmark = pytest.mark.heavy
+
+
 def _echo_scene(n, freq, seed=0, echo_delay=None, echo_gain=0.4):
     """far = playback; near = delayed attenuated far + speech + noise."""
     r = np.random.RandomState(seed)

@@ -1,0 +1,74 @@
+"""Checkpoint/resume round-trip: identical output stream with and without
+a mid-stream snapshot/restore (VERDICT round-1 missing #6, SURVEY §5).
+
+Uses chunked execution with the host planner pre-advanced past the AEC
+startup so the whole file shares ONE compiled scan program (exact-mode
+chain compiles on XLA:CPU cost minutes per signature).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from wmix_tpu.engine import checkpoint
+from wmix_tpu.engine.chain import RecordChain
+
+pytestmark = pytest.mark.heavy
+
+K = 4  # packages per chunk
+
+
+@pytest.fixture(autouse=True)
+def _fast_mode():
+    # the snapshot/restore property (restored == uninterrupted) holds in
+    # any deterministic mode; fast mode compiles ~10x quicker on XLA:CPU
+    os.environ["WMIX_FAST"] = "1"
+    yield
+    del os.environ["WMIX_FAST"]
+
+
+def _mk_chain(batch, freq):
+    rc = RecordChain(batch, freq)
+    for _ in range(3):  # planner past AEC startup (passthrough pkgs)
+        rc._plan_tick()
+    return rc
+
+
+def _chunks(batch, pkg, n_chunks, seed):
+    rng = np.random.RandomState(seed)
+    return ((rng.randn(n_chunks, K, batch, pkg) * 3000).astype(np.int16),
+            (rng.randn(n_chunks, K, batch, pkg) * 5000).astype(np.int16))
+
+
+def test_snapshot_restore_bit_identical(tmp_path):
+    batch, freq = 2, 16000
+    pkg = freq // 1000 * 20
+    mics, plays = _chunks(batch, pkg, 4, seed=11)
+
+    # uninterrupted run
+    ref = _mk_chain(batch, freq)
+    ref_out = [np.asarray(ref.run_chunk(m, p)[0])
+               for m, p in zip(mics, plays)]
+
+    # snapshot after chunk 2 (mid-AEC-adaptation), save to disk, restore
+    # into a FRESH chain, continue
+    a = _mk_chain(batch, freq)
+    for m, p in zip(mics[:2], plays[:2]):
+        a.run_chunk(m, p)
+    path = str(tmp_path / "snap.npz")
+    checkpoint.save(a, path)
+
+    b = _mk_chain(batch, freq)
+    checkpoint.load(b, path)
+    assert b.tick == a.tick and b.play_count == a.play_count
+    for i in range(2, 4):
+        origin, _, _ = b.run_chunk(mics[i], plays[i])
+        np.testing.assert_array_equal(np.asarray(origin), ref_out[i])
+
+
+def test_restore_rejects_geometry_mismatch():
+    a = RecordChain(2, 16000)
+    blob = checkpoint.snapshot(a)
+    b = RecordChain(4, 16000)
+    with pytest.raises(AssertionError):
+        checkpoint.restore(b, blob)

@@ -2,10 +2,14 @@
 itself bit-exact vs the C reference): every stream slot of the batch must
 match its own AecProcessor run sample for sample."""
 import numpy as np
+import pytest
 
 from tests.test_aec import _echo_scene
 from wmix_tpu.dsp import aec
 from wmix_tpu.engine.aec_step import AecBatch, cast_out_int16
+
+
+pytestmark = pytest.mark.heavy
 
 
 def _run(freq, n_pkgs, B=3):

@@ -12,6 +12,9 @@ from wmix_tpu.engine.chain import AEC_FIFO_PKG_NUM, RecordChain
 from wmix_tpu.ops import resample
 
 
+pytestmark = pytest.mark.heavy
+
+
 class _OracleChain:
     """One stream of the daemon record chain via the C reference."""
 

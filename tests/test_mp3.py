@@ -9,6 +9,9 @@ from wmix_tpu.codecs import mp3
 FIXTURE = "/root/reference/audio/2x44100.mp3"
 
 
+pytestmark = pytest.mark.heavy
+
+
 @requires_oracle
 def test_fixture_prefix_bit_exact():
     """First 40 frames of the stereo 44.1 kHz fixture, sample-exact

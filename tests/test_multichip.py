@@ -1,0 +1,76 @@
+"""Multi-chip sharding parity (VERDICT round-1 weakness #3).
+
+The stream-batch axis is pure data parallelism (SURVEY §2.3): sharding B
+over a mesh must change NOTHING about the math.  Runs the full record
+chain on the 8 virtual CPU devices from conftest, sharded vs unsharded,
+and asserts bitwise equality — the real multi-chip guarantee, not a
+shape smoke test.
+
+Uses chunked execution with the planner pre-advanced (one compiled scan
+program per sharding; exact-mode chain compiles cost minutes each on
+XLA:CPU).
+"""
+import os
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from wmix_tpu.engine.chain import RecordChain
+
+pytestmark = pytest.mark.heavy
+
+
+@pytest.fixture(autouse=True)
+def _fast_mode():
+    # sharded == unsharded holds in any deterministic mode; fast mode is
+    # the production configuration and compiles ~10x quicker on XLA:CPU
+    os.environ["WMIX_FAST"] = "1"
+    yield
+    del os.environ["WMIX_FAST"]
+
+
+def _mesh(n):
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"need {n} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:n]), ("b",))
+
+
+def _shard(mesh, x):
+    spec = PartitionSpec(*(("b",) + (None,) * (np.ndim(x) - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def _mk_chain(batch, freq):
+    rc = RecordChain(batch, freq)
+    for _ in range(3):
+        rc._plan_tick()
+    return rc
+
+
+def test_chunked_chain_sharded_equals_unsharded():
+    n_dev = 8
+    batch = 2 * n_dev
+    freq = 16000
+    pkg = freq // 1000 * 20
+    rng = np.random.RandomState(4)
+    K, n_chunks = 4, 2
+    mics = (rng.randn(n_chunks, K, batch, pkg) * 3000).astype(np.int16)
+    plays = (rng.randn(n_chunks, K, batch, pkg) * 5000).astype(np.int16)
+
+    ref = _mk_chain(batch, freq)
+    ref_outs = [tuple(map(np.asarray, ref.run_chunk(m, p)))
+                for m, p in zip(mics, plays)]
+
+    mesh = _mesh(n_dev)
+    sh = _mk_chain(batch, freq)
+    sh.state = jax.tree_util.tree_map(lambda x: _shard(mesh, x), sh.state)
+    # chunk inputs stay host numpy: XLA propagates the state sharding
+    # through the scan, which is exactly the production ingestion shape
+    for i in range(n_chunks):
+        o, p8, v = sh.run_chunk(mics[i], plays[i])
+        np.testing.assert_array_equal(np.asarray(o), ref_outs[i][0])
+        np.testing.assert_array_equal(np.asarray(p8), ref_outs[i][1])
+        np.testing.assert_array_equal(np.asarray(v), ref_outs[i][2])

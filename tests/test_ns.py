@@ -13,6 +13,9 @@ import jax.numpy as jnp  # noqa: E402
 from wmix_tpu.dsp import ns  # noqa: E402
 
 
+pytestmark = pytest.mark.heavy
+
+
 def _signal(n, kind, seed=0, freq=8000):
     r = np.random.RandomState(seed)
     t = np.arange(n) / freq

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from wmix_tpu.dsp import floatops
 from wmix_tpu.dsp.floatops import flog, gm, gq, guard_zero, oc, seq_sum, \
     seq_sum_multi
 from wmix_tpu.ops.rdft import aec_rdft_traced
@@ -203,7 +204,20 @@ def time_to_frequency_pair(time_data):
 
 def _filter_far(xf_buf, wf_buf, block_pos):
     """FilterFar (aec_core.c:148-170): sequential accumulation over
-    partitions in order i=0..N-1 reading xf at (i+block_pos) mod N."""
+    partitions in order i=0..N-1 reading xf at (i+block_pos) mod N.
+
+    Fast mode: the per-partition complex MACs are order-released into one
+    vectorized reduction over the partition axis (no 12-step scan)."""
+    if floatops.fast_mode():
+        idx = (jnp.arange(NUM_PARTITIONS, dtype=I32) + block_pos) \
+            % NUM_PARTITIONS
+        x = xf_buf[idx]              # [N, 2, 65]
+        xr, xi = x[:, 0], x[:, 1]
+        wr, wi = wf_buf[:, 0], wf_buf[:, 1]
+        yf_re = jnp.sum(xr * wr - xi * wi, axis=0)
+        yf_im = jnp.sum(xr * wi + xi * wr, axis=0)
+        return yf_re, yf_im
+
     def body(carry, i):
         yf_re, yf_im = carry
         idx = (i + block_pos) % NUM_PARTITIONS

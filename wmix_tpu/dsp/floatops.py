@@ -13,10 +13,32 @@ reductions cannot reorder the rounding.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 F32 = jnp.float32
+
+
+def fast_mode() -> bool:
+    """True when the bit-parity guards should be dropped for speed.
+
+    Exact parity with the C reference requires float64 transcendentals
+    (`_via_double`), so it is only attainable when x64 is enabled — the
+    CPU parity-test configuration (tests/conftest.py).  On backends
+    without x64 (TPU production) the guards cost real throughput while
+    buying nothing, so they collapse to plain float32 ops and XLA is free
+    to fuse/reassociate.  `WMIX_EXACT=1` forces the guarded forms anyway;
+    `WMIX_FAST=1` forces fast mode even under x64 (perf experiments).
+
+    Checked at TRACE time: callers that cache compiled programs must key
+    their caches on this flag (the engine builders do)."""
+    if os.environ.get("WMIX_EXACT", "") not in ("", "0"):
+        return False
+    if os.environ.get("WMIX_FAST", "") not in ("", "0"):
+        return True
+    return not jax.config.jax_enable_x64
 
 
 def _wide_dtype():
@@ -39,6 +61,8 @@ def guard_zero(x):
     fusion reappears).  Callers must derive it from finite data — all
     audio-path floats are int16-ranged.  x0 - x0 is +0 for every finite
     x0 including -0, so signed zeros flow through gm() unchanged."""
+    if fast_mode():
+        return jnp.float32(0.0)
     x0 = jnp.asarray(x).ravel()[0].astype(F32)
     return x0 - x0
 
@@ -49,6 +73,8 @@ guard_one = guard_zero
 
 def gm(a, b, zero):
     """Guarded float32 product, safe to place adjacent to an add/sub."""
+    if fast_mode():
+        return a * b
     return a * b - zero
 
 
@@ -56,6 +82,8 @@ def gq(a, b, zero):
     """Guarded float32 quotient: `a/b` with the simplifier's div<->mul
     reassociation (mul(div(a,b),c) -> div(a*c,b) and friends) blocked by
     the trailing exact subtraction."""
+    if fast_mode():
+        return a / b
     return a / b - zero
 
 
@@ -64,6 +92,8 @@ def oc(c, zero):
     so the algebraic simplifier cannot rewrite `x / oc(c)` into a
     reciprocal multiply or fold constant multiply chains (both change
     float32 rounding vs the reference's literal arithmetic)."""
+    if fast_mode():
+        return jnp.float32(c)
     return jnp.float32(c) - zero
 
 
@@ -101,7 +131,11 @@ def fpow_div(num, base, expo):
 
 
 def seq_sum(x, axis: int = -1):
-    """Left-to-right float32 fold, reproducing C `for(...) acc += x[i]`."""
+    """Left-to-right float32 fold, reproducing C `for(...) acc += x[i]`.
+
+    In fast mode the fold order is released to XLA (tree reduction)."""
+    if fast_mode():
+        return jnp.sum(x.astype(F32), axis=axis)
     x = jnp.moveaxis(x.astype(F32), axis, 0)
 
     def body(acc, v):
@@ -114,6 +148,8 @@ def seq_sum(x, axis: int = -1):
 def seq_sum_multi(*terms):
     """Fold several same-length term arrays in one scan (they accumulate in
     the same C loop but into independent accumulators)."""
+    if fast_mode():
+        return tuple(jnp.sum(t.astype(F32), axis=-1) for t in terms)
     stacked = jnp.stack([jnp.moveaxis(t.astype(F32), -1, 0) for t in terms])
 
     def body(accs, vs):

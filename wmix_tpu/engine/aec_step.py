@@ -148,9 +148,16 @@ def build_pkg_body(signature, sub_len: int, mult: int, nlp_mode: int):
     return fn
 
 
-@functools.lru_cache(maxsize=None)
 def build_pkg_fn(signature, sub_len: int, mult: int, nlp_mode: int):
     """Jitted variant of build_pkg_body (standalone batched AEC)."""
+    from wmix_tpu.dsp import floatops
+    return _build_pkg_fn_cached(signature, sub_len, mult, nlp_mode,
+                                floatops.fast_mode())
+
+
+@functools.lru_cache(maxsize=None)
+def _build_pkg_fn_cached(signature, sub_len: int, mult: int, nlp_mode: int,
+                         fast: bool):
     return jax.jit(build_pkg_body(signature, sub_len, mult, nlp_mode))
 
 

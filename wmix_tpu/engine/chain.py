@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wmix_tpu.dsp import agc as agc_mod
+from wmix_tpu.dsp import floatops
 from wmix_tpu.dsp import ns as ns_mod
 from wmix_tpu.dsp import vad as vad_mod
 from wmix_tpu.engine import aec_step
@@ -188,9 +189,18 @@ class RecordChain:
         return origin, pkg8k, vflags
 
 
-@functools.lru_cache(maxsize=None)
 def _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                       agc_gain_db, zoom_idx):
+    # cache key includes the floatops fast/exact mode: the traced program
+    # differs between the parity (guarded) and production (fast) forms
+    return _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode,
+                                    freq, flags, agc_gain_db, zoom_idx,
+                                    floatops.fast_mode())
+
+
+@functools.lru_cache(maxsize=None)
+def _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
+                             agc_gain_db, zoom_idx, fast):
     ns_on, aec_on, agc_on, vad_on = flags
     aec_body = aec_step.build_pkg_body(aec_sig, sub_len, mult, nlp_mode) \
         if aec_on else None
@@ -237,17 +247,31 @@ def _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq, flags,
     return fn
 
 
-@functools.lru_cache(maxsize=None)
 def _build_chain_fn(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                     agc_gain_db, zoom_idx):
+    return _build_chain_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
+                                  flags, agc_gain_db, zoom_idx,
+                                  floatops.fast_mode())
+
+
+@functools.lru_cache(maxsize=None)
+def _build_chain_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
+                           agc_gain_db, zoom_idx, fast):
     return jax.jit(_build_chain_body(aec_sig, sub_len, mult, nlp_mode,
                                      freq, flags, agc_gain_db, zoom_idx),
                    donate_argnums=(0,))
 
 
-@functools.lru_cache(maxsize=None)
 def _build_chain_scan_fn(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                          agc_gain_db, zoom_idx):
+    return _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode,
+                                       freq, flags, agc_gain_db, zoom_idx,
+                                       floatops.fast_mode())
+
+
+@functools.lru_cache(maxsize=None)
+def _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
+                                flags, agc_gain_db, zoom_idx, fast):
     """Chunked execution: lax.scan over K packages in ONE dispatch.
 
     Steady state has a fixed plan signature, so a whole chunk of packages

@@ -452,9 +452,51 @@ def rdft(x: jax.Array, inverse: bool = False) -> jax.Array:
     return out.reshape(x.shape)
 
 
+def _fast_rdft(x: jax.Array, inverse: bool) -> jax.Array:
+    """Fast-mode transform: one XLA Fft op instead of the unrolled Ooura
+    gather stages (shrinks the HLO graph ~30x per transform and lets the
+    TPU backend lower small FFTs onto the MXU as DFT matmuls).
+
+    Reproduces the Ooura rdft PACKING exactly — a[0]=R[0], a[1]=R[n/2],
+    a[2k]=R[k], a[2k+1]=I[k] with I[k] = +sum a[j] sin(2 pi jk/n), i.e.
+    the NEGATED numpy imag — up to float32 rounding (fast mode releases
+    rounding order by definition; tests/test_rdft.py gates allclose)."""
+    n = x.shape[-1]
+    x = x.astype(jnp.float32)
+    if not inverse:
+        X = jnp.fft.rfft(x, axis=-1)
+        re = jnp.real(X).astype(jnp.float32)
+        im = (-jnp.imag(X)).astype(jnp.float32)
+        out = jnp.zeros(x.shape, jnp.float32)
+        out = out.at[..., 0].set(re[..., 0])
+        out = out.at[..., 1].set(re[..., n // 2])
+        out = out.at[..., 2::2].set(re[..., 1:n // 2])
+        out = out.at[..., 3::2].set(im[..., 1:n // 2])
+        return out
+    re = jnp.concatenate(
+        [x[..., 0:1], x[..., 2::2], x[..., 1:2]], axis=-1)
+    im = jnp.concatenate(
+        [jnp.zeros(x.shape[:-1] + (1,), jnp.float32), x[..., 3::2],
+         jnp.zeros(x.shape[:-1] + (1,), jnp.float32)], axis=-1)
+    X = jax.lax.complex(re, -im)
+    t = jnp.fft.irfft(X, n, axis=-1).astype(jnp.float32)
+    # Ooura's unscaled inverse: callers multiply by 2/n afterwards
+    return t * jnp.float32(n / 2)
+
+
+def _use_fast_fft() -> bool:
+    import os
+    from wmix_tpu.dsp import floatops
+    if os.environ.get("WMIX_FAST_FFT", "") == "0":
+        return False
+    return floatops.fast_mode()
+
+
 def rdft_traced(x: jax.Array, inverse: bool = False) -> jax.Array:
     """Trace-time variant for use inside an enclosing jit/vmap: applies the
     transform along the last axis without its own jit boundary."""
+    if _use_fast_fft():
+        return _fast_rdft(x, bool(inverse))
     n = x.shape[-1]
     plan = _plan(n)
     flat = x.reshape(-1, n)
@@ -509,6 +551,8 @@ def aec_rdft(x: jax.Array, inverse: bool = False) -> jax.Array:
 
 def aec_rdft_traced(x: jax.Array, inverse: bool = False) -> jax.Array:
     """Trace-time variant for use inside an enclosing jit."""
+    if _use_fast_fft():
+        return _fast_rdft(x, bool(inverse))
     plan = _plan_aec128()
     flat = x.reshape(-1, 128)
     out = jax.vmap(lambda v: _rdft_one(v, plan, bool(inverse)))(flat)
