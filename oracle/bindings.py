@@ -199,7 +199,17 @@ class Oracle:
                 chunks.append(out[:ret].copy())
                 pos += consumed.value
             elif ret == 0 and consumed.value > 0:
-                break  # needs more data than remains
+                # ambiguous C return: either the first frame (faad
+                # suppresses its output; bytesconsumed = frame bytes) or
+                # insufficient data (bytesConsumed = MISSING bytes).  If
+                # another ADTS sync follows the consumed span, it was a
+                # decoded frame - advance; else we are at stream end.
+                nxt = pos + consumed.value
+                if nxt + 7 <= len(buf) and buf[nxt] == 0xFF and \
+                        (buf[nxt + 1] & 0xF0) == 0xF0:
+                    pos = nxt
+                else:
+                    break
             else:
                 pos += max(consumed.value, 1)
         self.lib.aac_decodeRelease(C.byref(dec))

@@ -232,3 +232,81 @@ def test_play_mp3_task(daemon, tmp_path):
         np.frombuffer(bytes(hal.played), np.int16) != 0), max_ticks=3000)
     client.play_kill(tid)
     assert _pump_until(d, lambda: d.thread_play == 0, max_ticks=3000)
+
+
+def test_play_aac_reaches_speaker(daemon, tmp_path):
+    """End-to-end AAC playback (wmix_task_play_aac semantics): the AAC
+    fixture decodes through the faad2-equivalent codec and reaches the
+    LoopHal speaker resampled into the daemon geometry."""
+    d, hal = daemon
+    fx = "/root/reference/audio/2x44100.aac"
+    if not os.path.exists(fx):
+        pytest.skip("reference fixtures unavailable")
+    tid = client.play(fx, order=2)
+    assert tid > 0
+
+    # let the decoder stream past the track's silent intro, then kill it
+    # (the file is ~2 min long)
+    def _has_audio():
+        out = np.frombuffer(bytes(hal.played), np.int16)
+        return np.count_nonzero(out) > 1000
+
+    assert _pump_until(d, _has_audio, max_ticks=8000), \
+        "AAC audio never reached the DAC"
+    client.play_kill(tid)
+    assert _pump_until(d, lambda: d.thread_play == 0, max_ticks=4000)
+
+
+def test_record_aac_task(daemon, tmp_path):
+    """WMT_RECORD_AAC end to end: mic -> chain -> faac-equivalent encode
+    -> ADTS file that the bit-exact AAC decoder can read back."""
+    from wmix_tpu.codecs import adts
+    d, hal = daemon
+    mic = (np.sin(np.arange(32000) * 0.1) * 5000).astype(np.int16)
+    hal.feed_mic(mic.tobytes())
+    out = tmp_path / "rec.aac"
+    client.record(str(out), 1, 8000, 1, type=1)
+    assert _pump_until(d, lambda: d.thread_record == 1)
+    assert _pump_until(d, lambda: d.thread_record == 0, max_ticks=1600)
+    data = out.read_bytes()
+    assert len(data) > 200, "no AAC frames written"
+    info = adts.parse_header(data)
+    assert info is not None and info.chn == 1 and info.freq == 8000
+    # count frames: each starts with a valid ADTS header
+    pos, frames = 0, 0
+    while pos + 7 <= len(data):
+        h = adts.parse_header(data[pos:pos + 7])
+        assert h is not None, f"bad frame boundary at {pos}"
+        pos += h.frame_len
+        frames += 1
+    # ~1 s at 8 kHz = 7.8 encode calls minus faac's 3-frame priming
+    assert frames >= 4
+
+
+def test_rtp_aac_loopback(daemon):
+    """RTP-AAC duplex: rtp_send_aac -> localhost -> rtp_recv_aac mixes
+    the decoded audio into the play ring (wmixTask.c:633-1016)."""
+    d, hal = daemon
+    mic = (np.sin(np.arange(64000) * 0.13) * 9000).astype(np.int16)
+    hal.feed_mic(mic.tobytes())
+    # 32 kHz: AAC streams at <=24 kHz would be implicitly SBR-upsampled
+    # by the reference decoder — that path is gated until the QMF
+    # upsampler lands (codecs/aac.py), so the loopback runs above it
+    port = 19767
+    rid_recv = client.rtp("127.0.0.1", port, 1, 32000, send_mode=False,
+                          bind_mode=True, aac=True)
+    rid_send = client.rtp("127.0.0.1", port, 1, 32000, send_mode=True,
+                          bind_mode=False, aac=True)
+    assert rid_recv > 0 and rid_send > 0
+    assert _pump_until(d, lambda: d.thread_record >= 1 and
+                       d.thread_play >= 1)
+
+    def _got_audio():
+        out = np.frombuffer(bytes(hal.played), np.int16)
+        return np.count_nonzero(out) > 500
+
+    ok = _pump_until(d, _got_audio, max_ticks=4000)
+    client.kill_all()
+    _pump_until(d, lambda: d.thread_record == 0 and d.thread_play == 0,
+                max_ticks=2000)
+    assert ok, "decoded RTP-AAC audio never reached the mix ring"

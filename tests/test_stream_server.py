@@ -1,0 +1,97 @@
+"""Multi-stream record server: per-slot outputs are bit-exact against a
+dedicated RecordChain at the same tick phase (the admission contract,
+service/stream_server.py), including mid-stream admissions and slot
+reuse after close."""
+import os
+
+import numpy as np
+import pytest
+
+from wmix_tpu.engine.chain import RecordChain
+from wmix_tpu.service.stream_server import SlotClosed, StreamServer
+
+pytestmark = pytest.mark.heavy
+
+
+@pytest.fixture(autouse=True)
+def _fast_mode():
+    os.environ["WMIX_FAST"] = "1"
+    yield
+    del os.environ["WMIX_FAST"]
+
+
+def _ref_chain(freq, phase_ticks, mics, plays):
+    """Dedicated single-slot chain admitted at the same planner phase."""
+    rc = RecordChain(1, freq)
+    for _ in range(phase_ticks):
+        rc._plan_tick()
+    outs = []
+    for m, p in zip(mics, plays):
+        o, p8, v = rc.step(m[None], p[None])
+        outs.append((np.asarray(o)[0], np.asarray(p8)[0],
+                     np.asarray(v)[0]))
+    return outs
+
+
+def test_concurrent_slots_bit_exact():
+    freq = 16000
+    pkg = freq // 1000 * 20
+    rng = np.random.RandomState(5)
+    srv = StreamServer(4, freq)
+
+    n_ticks = 8
+    mics_a = (rng.randn(n_ticks, pkg) * 3000).astype(np.int16)
+    plays_a = (rng.randn(n_ticks, pkg) * 5000).astype(np.int16)
+    mics_b = (rng.randn(n_ticks, pkg) * 2000).astype(np.int16)
+    plays_b = (rng.randn(n_ticks, pkg) * 4000).astype(np.int16)
+    mics_c = (rng.randn(n_ticks, pkg) * 1000).astype(np.int16)
+    plays_c = np.zeros_like(mics_c)
+
+    a = srv.open_stream()
+    b = srv.open_stream()
+    got = {a: [], b: []}
+    c = None
+    admit_c_at = 3
+    for t in range(n_ticks):
+        if t == admit_c_at:
+            c = srv.open_stream()
+            got[c] = []
+        srv.feed(a, mics_a[t], plays_a[t])
+        srv.feed(b, mics_b[t], plays_b[t])
+        if c is not None:
+            srv.feed(c, mics_c[t - admit_c_at], plays_c[t - admit_c_at])
+        srv.tick()
+        for h in list(got):
+            r = srv.read(h)
+            if r is not None:
+                got[h].append(r)
+
+    ref_a = _ref_chain(freq, 0, mics_a, plays_a)
+    ref_b = _ref_chain(freq, 0, mics_b, plays_b)
+    ref_c = _ref_chain(freq, admit_c_at,
+                       mics_c[:n_ticks - admit_c_at],
+                       plays_c[:n_ticks - admit_c_at])
+
+    for h, ref in ((a, ref_a), (b, ref_b), (c, ref_c)):
+        assert len(got[h]) == len(ref)
+        for i, ((o, p8, v), (ro, rp8, rv)) in enumerate(zip(got[h], ref)):
+            np.testing.assert_array_equal(o, ro, err_msg=f"pkg {i}")
+            np.testing.assert_array_equal(p8, rp8)
+            np.testing.assert_array_equal(v, rv)
+
+
+def test_slot_reuse_and_generation_guard():
+    freq = 16000
+    pkg = freq // 1000 * 20
+    srv = StreamServer(1, freq)
+    h1 = srv.open_stream()
+    srv.close_stream(h1)
+    with pytest.raises(SlotClosed):
+        srv.feed(h1, np.zeros(pkg, np.int16))
+    h2 = srv.open_stream()
+    assert h2 != h1  # generation bumped, same slot
+    srv.feed(h2, np.zeros(pkg, np.int16))
+    srv.tick()
+    assert srv.read(h2) is not None
+    with pytest.raises(RuntimeError):
+        srv.open_stream()  # capacity exhausted

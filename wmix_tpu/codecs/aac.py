@@ -1044,12 +1044,18 @@ def ifilter_bank(window_sequence: int, window_shape: int,
 # --------------------------------------------------------------------------
 
 def to_pcm_16bit(channel_data: list) -> np.ndarray:
-    """float -> int16: clip to [-32768, 32767] then lrintf
-    (round-half-to-even, the C99 default rounding mode)."""
+    """float -> int16 per output.c to_PCM_16bit with HAS_LRINTF UNSET —
+    the reference build's config.h has `#undef HAVE_LRINTF`, so `lrintf`
+    is `(int32_t)(f)` truncation and CLIP adds +/-0.5 first:
+    round-half-away-from-zero with saturation (output.c:64-77,399-402)."""
     chans = []
     for x in channel_data:
-        x = np.clip(x, -32768.0, 32767.0).astype(F32)
-        chans.append(np.rint(x).astype(np.int64).astype(np.int16))
+        x = np.asarray(x, F32)
+        pos = x >= F32(0.0)
+        x = np.where(pos, x + F32(0.5), x + F32(-0.5)).astype(F32)
+        x = np.where(pos & (x >= F32(32767.0)), F32(32767.0), x)
+        x = np.where(~pos & (x <= F32(-32768.0)), F32(-32768.0), x)
+        chans.append(np.trunc(x).astype(np.int64).astype(np.int16))
     out = np.empty(len(chans[0]) * len(chans), np.int16)
     for c, x in enumerate(chans):
         out[c::len(chans)] = x
@@ -1199,7 +1205,11 @@ class AacDecoder:
         count = ld.get(4)
         if count == 15:
             count += ld.get(8) - 1
-        # extension_payload consumed as opaque bytes (no SBR/DRC use)
+        if count > 0 and ld.show(4) in (13, 14):
+            # EXT_SBR_DATA(_CRC): HE-AAC stream — SBR/PS reconstruction
+            # is not implemented yet (the 2x32000.aac fixture needs it)
+            raise AacError("SBR (HE-AAC) extension not supported")
+        # extension_payload consumed as opaque bytes (no DRC use)
         for _ in range(count):
             ld.get(8)
 
@@ -1252,6 +1262,14 @@ class AacDecoder:
         if self.sf_index is None:
             self.sf_index = adts["sf_index"]
             self.channels = adts["channel_configuration"]
+        if SAMPLE_RATES[self.sf_index] <= 24000:
+            # faad (SBR build, default dontUpSampleImplicitSBR=0) always
+            # upsamples <=24 kHz streams 2x through the SBR QMF bank and
+            # up-matrixes mono to stereo through PS (decoder.c:363-371,
+            # 1056-1062, 1138-1148); until that path is ported, decoding
+            # at the core rate would silently diverge from the reference
+            raise AacError(
+                "implicit SBR upsampling (<=24 kHz stream) not supported")
 
         chans = {}
         ch_base = 0

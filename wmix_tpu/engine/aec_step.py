@@ -79,16 +79,24 @@ def _ring_write(buf, start, data):
     return buf.at[:, _ring_idx(start, data.shape[1], buf.shape[1])].set(data)
 
 
-def build_pkg_body(signature, sub_len: int, mult: int, nlp_mode: int):
+def build_pkg_body(signature, sub_len: int, mult: int, nlp_mode: int,
+                   traced_upd: bool = False):
     """Untraced builder: returns
     fn(state, far_pkg[B,n] f32, near_pkg[B,n] f32, dyn) -> (state, out),
-    for composition into larger traced programs (the full record chain)."""
+    for composition into larger traced programs (the full record chain).
 
-    def vblock(dev, xf, xfw, near, rand, pos, f0, f1, upd_static):
+    traced_upd: take update_delay_idx from dyn (blk_flags[:,2]) instead of
+    the static signature — the chunked path uses this so one compiled
+    program covers every phase of the delay-estimation counter cycle (the
+    partition-energy fold then runs every block and is masked by a
+    where; the static variant DCEs it in 19 of 20 blocks but multiplies
+    compiled variants, which dominates at chunk scale)."""
+
+    def vblock(dev, xf, xfw, near, rand, pos, f0, f1, upd):
         return jax.vmap(
             lambda d, a, b, c:
             process_block_kernel(d, a, b, c, rand, pos, mult, nlp_mode,
-                                 f0, f1, bool(upd_static)),
+                                 f0, f1, upd),
             in_axes=(0, 0, 0, 0))(dev, xf, xfw, near)
     vttf = jax.vmap(time_to_frequency_pair)
 
@@ -128,12 +136,14 @@ def build_pkg_body(signature, sub_len: int, mult: int, nlp_mode: int):
                     xfw = st.farw_parts[:, dyn["blk_far"][bi]]
                     near64 = _ring_read(st.near_fr, dyn["blk_near"][bi],
                                         PART_LEN)
+                    upd = (dyn["blk_flags"][bi, 2] != 0) if traced_upd \
+                        else bool(upd_static)
                     dev, out64 = vblock(
                         st.dev, xf, xfw, near64, dyn["blk_rand"][bi],
                         dyn["blk_xf"][bi],
                         dyn["blk_flags"][bi, 0] != 0,
                         dyn["blk_flags"][bi, 1] != 0,
-                        upd_static)
+                        upd)
                     st = st._replace(
                         dev=dev,
                         out_fr=_ring_write(st.out_fr, dyn["blk_out"][bi],

@@ -60,6 +60,7 @@ def main(argv=None) -> int:
     bind = False
     audio = None
     record_mode = False
+    record_type = 0
 
     i = 0
     n = len(args)
@@ -101,6 +102,9 @@ def main(argv=None) -> int:
             return 0
         elif a == "-r":
             record_mode = True
+        elif a == "-raac":
+            record_mode = True
+            record_type = 1
         elif a == "-rc":
             rec_chn = int(arg())
         elif a == "-rr":
@@ -117,6 +121,59 @@ def main(argv=None) -> int:
             port = int(arg())
             return client.rtp(ip, port, 1, 8000, send_mode=True,
                               bind_mode=bind)
+        elif a == "-rtpr-aac":
+            ip = arg()
+            port = int(arg())
+            return client.rtp(ip, port, rec_chn, rec_freq,
+                              send_mode=False, bind_mode=bind,
+                              aac=True, reduce=reduce)
+        elif a == "-rtps-aac":
+            ip = arg()
+            port = int(arg())
+            return client.rtp(ip, port, rec_chn, rec_freq,
+                              send_mode=True, bind_mode=bind, aac=True)
+        elif a == "-tm" or a == "-tm2":
+            # wmix_mem_test (wmixMsg.c:110-139): 5 s from the shm rings
+            import numpy as np
+            from wmix_tpu.service.mem import MemReader
+            from wmix_tpu.service import sysv as _sysv
+            origin = a == "-tm2"
+            client.mem_switch(True)
+            rd = MemReader(_sysv.MEM_AI_ORIGIN_CHAR if origin
+                           else _sysv.MEM_AI_1X8000_CHAR)
+            out = open("./tm2.pcm" if origin else "./tm.pcm", "wb")
+            import time as _t
+            end = _t.monotonic() + 5.0
+            while _t.monotonic() < end:
+                got = rd.read(1600, wait=True, timeout=0.1)
+                if got.size:
+                    out.write(got.tobytes())
+            out.close()
+            client.mem_switch(False)
+            return 0
+        elif a == "-tfi" or a == "-tfi2":
+            # wmix_fifo_test (wmixMsg.c:140-171): 5 s via the fifo
+            aacm = a == "-tfi2"
+            import os as _os, time as _t
+            path = f"/tmp/wmix_tfi_{_os.getpid()}"
+            client.fifo_record(path, rec_chn, rec_freq,
+                               type=1 if aacm else 0)
+            for _ in range(100):
+                if _os.path.exists(path):
+                    break
+                _t.sleep(0.01)
+            out = open("./tfi2.aac" if aacm else "./tfi.pcm", "wb")
+            try:
+                src = open(path, "rb")
+            except OSError:
+                print("fifo open failed")
+                return -1
+            end = _t.monotonic() + 5.0
+            while _t.monotonic() < end:
+                out.write(src.read(4096) or b"")
+            src.close()
+            out.close()
+            return 0
         elif a == "-bind":
             bind = True
         elif a in ("-vad", "-aec", "-ns", "-ns_pa", "-agc"):
@@ -163,7 +220,8 @@ def main(argv=None) -> int:
         if not audio:
             print("record mode needs a path")
             return -1
-        client.record(audio, rec_chn, rec_freq, rec_time)
+        client.record(audio, rec_chn, rec_freq, rec_time,
+                      type=record_type)
         return 0
     if audio:
         return client.play(audio, reduce, interval, repeat, order)

@@ -109,19 +109,29 @@ def fifo_play(path: str, chn: int, freq: int, reduce: int = 0) -> int:
     return red_id
 
 
-def fifo_record(path: str, chn: int, freq: int) -> int:
+def fifo_record(path: str, chn: int, freq: int, type: int = 0) -> int:
+    """wmix_fifo_record (wmix_user.c:403-452): type 0 = raw PCM,
+    1 = ADTS AAC, 2 = G.711a."""
     msg_path, red_id = auto_path()
     value = _geometry_value(chn, freq) + path.encode() + b"\0"
-    _send(core.WMT_FIFO_RECORD, value)
+    if type == 2:
+        mtype = core.WMT_FIFO_G711A
+    elif type == 1:
+        mtype = core.WMT_FIFO_AAC
+    else:
+        mtype = core.WMT_FIFO_RECORD
+    _send(mtype, value)
     return red_id
 
 
-def record(wav_path: str, chn: int, freq: int, seconds: int) -> None:
-    """wmix_record (wmix_user.c:454-485)."""
+def record(wav_path: str, chn: int, freq: int, seconds: int,
+           type: int = 0) -> None:
+    """wmix_record (wmix_user.c:454-485): type 1 = ADTS AAC file."""
     value = _geometry_value(chn, freq) + \
         bytes(((seconds >> 8) & 0xFF, seconds & 0xFF)) + \
         wav_path.encode() + b"\0"
-    _send(core.WMT_RECORD_WAV, value)
+    _send(core.WMT_RECORD_AAC if type == 1 else core.WMT_RECORD_WAV,
+          value)
 
 
 def rtp(ip: str, port: int, chn: int, freq: int, send_mode: bool,

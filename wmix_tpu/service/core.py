@@ -307,8 +307,18 @@ class WmixDaemon:
             # path does anything, and even that is a no-op flag clear
             # (src/wmix.c:1124-1137); mirrored as a no-op
             pass
-        # AAC task types (WMT_RECORD_AAC/WMT_RTP_*_AAC/WMT_FIFO_AAC) land
-        # with the AAC codec (docs/aac-plan.md)
+        elif t == WMT_RECORD_AAC:
+            from wmix_tpu.service import tasks
+            self._spawn(tasks.record_aac, mtype, value)
+        elif t == WMT_FIFO_AAC:
+            from wmix_tpu.service import tasks
+            self._spawn(tasks.fifo_aac_record, mtype, value)
+        elif t == WMT_RTP_SEND_AAC:
+            from wmix_tpu.service import tasks
+            self._spawn(tasks.rtp_send_aac, mtype, value)
+        elif t == WMT_RTP_RECV_AAC:
+            from wmix_tpu.service import tasks
+            self._spawn(tasks.rtp_recv_aac, mtype, value)
 
     def _note_ctl(self, value: bytes):
         """WMT_NOTE (src/wmix.c:1100-1123): tap the play stream to wav."""

@@ -65,6 +65,12 @@ class _TaskMsg:
             return None
         return got[0] & 0xFF
 
+    def describe(self, note: str) -> None:
+        """Rewrite the /tmp/wmix/<id> descriptor (wmix_write_file)."""
+        if self.path:
+            with open(self.path, "w") as f:
+                f.write(note)
+
     def close(self):
         if self.fd is not None:
             sysv.msgctl_rmid(self.fd)
@@ -122,7 +128,8 @@ def load_task(wmix, mtype: int, value: bytes):
             ext = audio_path.rsplit(".", 1)[-1].lower() \
                 if "." in audio_path else ""
             if ext == "aac":
-                _play_unsupported(wmix, audio_path, "aac")
+                play_aac(wmix, audio_path, tm, reduce, interval, repeat,
+                         loop_word)
             elif ext == "mp3":
                 play_mp3(wmix, audio_path, tm, reduce, interval, repeat,
                          loop_word)
@@ -140,6 +147,97 @@ def load_task(wmix, mtype: int, value: bytes):
 
 def _play_unsupported(wmix, path, kind):
     print(f"wmix-tpu: {kind} playback for {path} pending codec port")
+
+
+def play_aac(wmix, aac_path: str, tm, reduce: int, interval: int,
+             repeat: int, loop_word: int):
+    """wmix_task_play_aac (src/wmixTask.c:1598-1806): frame-at-a-time
+    aac_decode2 streamed into the mix ring with the mp3/wav pacing and
+    repeat/interval discipline.  Geometry (chn/freq) comes from the
+    decoder per frame, exactly as the C passes hInfo values into
+    wmix_load_data."""
+    from wmix_tpu.codecs import aac as aacc
+    try:
+        f = open(aac_path, "rb")
+    except OSError as e:
+        print(f"wmix-tpu: aac open {aac_path} failed: {e}")
+        return
+    dec = None
+    try:
+        dec, raw, chn, freq = aacc.aac_decode2(dec, f)
+    except aacc.AacError as e:
+        print(f"wmix-tpu: aac decode {aac_path} failed: {e}")
+        f.close()
+        return
+    if raw is None:
+        print(f"wmix-tpu: aac_decode2 err")
+        f.close()
+        return
+
+    reduce += 1
+    reduce_skip = False
+    if reduce > 1 and wmix.reduce_mode == 1:
+        wmix.reduce_mode = reduce
+        reduce_skip = True
+    else:
+        reduce = 1
+    head, tick = 0, 0
+    total_wait = wmix.cfg.frame_size * wmix.cfg.freq // 4
+    try:
+        while wmix.run and loop_word == wmix.loop_word:
+            tm.poll()
+            if raw:
+                timeout = 0
+                while (wmix.run and timeout < 200 and
+                       loop_word == wmix.loop_word and
+                       tick > wmix.tick and
+                       tick - wmix.tick > total_wait):
+                    timeout += 1
+                    time.sleep(0.005)
+                if not wmix.run or loop_word != wmix.loop_word:
+                    return
+                head, tick = wmix.load_data(raw, freq, chn, 16, head,
+                                            reduce, tick)
+                if head == 0:
+                    return
+            elif raw is not None:
+                pass  # 0-byte frame (faad first-frame priming): continue
+            elif interval > 0 or repeat > 0:
+                if repeat > 0:
+                    if repeat == 1:
+                        return
+                    repeat -= 1
+                    if interval < 1:
+                        interval = 1
+                if reduce_skip and wmix.reduce_mode == reduce:
+                    wmix.reduce_mode = 1
+                f.seek(0)
+                # the C keeps the decoder across the rewind: no
+                # first-frame suppression on replay, and the filterbank
+                # overlap carries over the loop seam — keep `dec`
+                waited = 0
+                while waited < interval * 1000:
+                    time.sleep(0.1)
+                    waited += 100
+                    if not wmix.run or loop_word != wmix.loop_word:
+                        return
+                    tm.poll()
+                if reduce_skip and wmix.reduce_mode == 1:
+                    wmix.reduce_mode = reduce
+                head, tick = wmix.head_off, 0
+            else:
+                return
+            try:
+                dec, raw, chn, freq = aacc.aac_decode2(dec, f)
+            except aacc.AacError as e:
+                print(f"wmix-tpu: aac decode error: {e}")
+                return
+    except _Killed:
+        pass
+    finally:
+        f.close()
+        if reduce_skip and wmix.reduce_mode == reduce:
+            wmix.reduce_mode = 1
 
 
 def play_mp3(wmix, mp3_path: str, tm, reduce: int, interval: int,
@@ -654,6 +752,239 @@ def rtp_recv_pcma(wmix, mtype: int, value: bytes):
                     pcm = bytes(len(pcm))
                 head, tick = wmix.load_data(pcm, freq, chn, sample, head,
                                             reduce, tick)
+                continue
+            recv_timeout += 5
+            if recv_timeout >= 3000:
+                time.sleep(1.0)
+                ss.reconnect(url, port, bind_mode)
+                recv_timeout = 0
+                continue
+            time.sleep(0.005)
+    except _Killed:
+        pass
+    finally:
+        ss.close()
+        tm.close()
+        wmix.thread_play -= 1
+        if reduce_skip:
+            wmix.reduce_mode = 1
+
+
+# ---------------------------------------------------------------------
+# AAC stream tasks (src/wmixTask.c:312-408, 538-631, 633-1016)
+# ---------------------------------------------------------------------
+
+def record_aac(wmix, mtype: int, value: bytes):
+    """wmix_thread_record_aac (src/wmixTask.c:538-631): shm origin ->
+    zoom to 1024-sample frames -> faac-equivalent encode -> ADTS file."""
+    from wmix_tpu.codecs import aacenc
+    chn, sample, freq = _parse_geometry(value)
+    seconds = (value[4] << 8) | value[5]
+    path, _ = _split_cstr(value, 6)
+    loop_word = wmix.loop_word_record
+
+    try:
+        f = open(path, "wb")
+    except OSError as e:
+        print(f"wmix-tpu: record-aac open {path} err: {e}")
+        return
+    rd = MemReader(sysv.MEM_AI_ORIGIN_CHAR)
+    sec_bytes = wmix.cfg.frame_size * wmix.cfg.freq
+    buff_dist = 1024 * chn * sample // 8
+    buff_src = resample.len_of_in(wmix.cfg.chn, wmix.cfg.freq, chn, freq,
+                                  buff_dist)
+    enc = None
+    second = 0
+    sec_count = 0
+    wmix.thread_record += 1
+    try:
+        while wmix.run and loop_word == wmix.loop_word_record:
+            got = rd.read(buff_src // 2, wait=True, timeout=0.2)
+            if not got.size:
+                continue
+            sec_count += got.size * 2
+            if sec_count >= sec_bytes:
+                sec_count -= sec_bytes
+                second += 1
+            out = resample.pcm_zoom(wmix.cfg.chn, wmix.cfg.freq,
+                                    got.tobytes(), chn, freq)
+            enc, blob = aacenc.aac_encode(enc, out, chn, freq)
+            f.write(blob)
+            if second >= seconds:
+                break
+    finally:
+        f.close()
+        wmix.thread_record -= 1
+
+
+def fifo_aac_record(wmix, mtype: int, value: bytes):
+    """wmix_thread_fifo_aac_record (src/wmixTask.c:312-408)."""
+    from wmix_tpu.codecs import aacenc
+    chn, sample, freq = _parse_geometry(value)
+    path, _ = _split_cstr(value, 4)
+    loop_word = wmix.loop_word_fifo
+
+    try:
+        os.mkfifo(path, 0o666)
+    except FileExistsError:
+        pass
+    fd = os.open(path, os.O_WRONLY)
+    rd = MemReader(sysv.MEM_AI_ORIGIN_CHAR)
+    buff_dist = 1024 * chn * sample // 8
+    buff_src = resample.len_of_in(wmix.cfg.chn, wmix.cfg.freq, chn, freq,
+                                  buff_dist)
+    enc = None
+    wmix.thread_record += 1
+    try:
+        while wmix.run and loop_word == wmix.loop_word_fifo:
+            got = rd.read(buff_src // 2, wait=True, timeout=0.2)
+            if not got.size:
+                continue
+            out = resample.pcm_zoom(wmix.cfg.chn, wmix.cfg.freq,
+                                    got.tobytes(), chn, freq)
+            enc, blob = aacenc.aac_encode(enc, out, chn, freq)
+            if blob:
+                try:
+                    os.write(fd, blob)
+                except (BrokenPipeError, BlockingIOError):
+                    break
+    finally:
+        os.close(fd)
+        if os.path.exists(path):
+            os.remove(path)
+        wmix.thread_record -= 1
+
+
+def rtp_send_aac(wmix, mtype: int, value: bytes):
+    """wmix_thread_rtp_send_aac (src/wmixTask.c:633-797): shm origin ->
+    zoom -> encode -> strip the 7-byte ADTS header -> RTP AAC packets
+    (timestamp advances by (buffer_fullness+1)/2, the reference quirk at
+    :758-760 — fullness carries the encoder's code rate field)."""
+    from wmix_tpu.codecs import aacenc
+    chn, sample, freq, port, bind_mode, url, msg_path = _parse_rtp(value)
+    loop_word = wmix.loop_word_record
+    try:
+        ss = rtp.RtpSocket(url, port, bind_mode)
+    except OSError as e:
+        print(f"wmix-tpu: rtp_socket {url}:{port} err: {e}")
+        return
+    ss.header = rtp.RtpHeader(pt=rtp.PT_AAC, m=1, ssrc=0x32411)
+    tm = _TaskMsg(msg_path,
+                  f"rtp send aac, chn {chn}, freq {freq}, "
+                  f"url {url}:{port}")
+    rtp.create_sdp("/tmp/record-aac.sdp", url, port, chn, freq,
+                   rtp.PT_AAC)
+
+    rd = MemReader(sysv.MEM_AI_ORIGIN_CHAR)
+    buff_dist = 1024 * chn * sample // 8
+    buff_src = resample.len_of_in(wmix.cfg.chn, wmix.cfg.freq, chn, freq,
+                                  buff_dist)
+    enc = None
+    ctrl = 0
+    wmix.thread_record += 1
+    try:
+        while wmix.run and loop_word == wmix.loop_word_record:
+            c = tm.poll()
+            if c == WCT_RESET:
+                ss.reconnect(url, port, bind_mode)
+                ctrl = WCT_CLEAR
+            elif c == WCT_STOP:
+                break
+            elif c is not None:
+                ctrl = c
+            got = rd.read(buff_src // 2, wait=True, timeout=0.2)
+            if not got.size:
+                continue
+            pcm = got.tobytes()
+            if ctrl == WCT_SILENCE:
+                pcm = bytes(len(pcm))
+            out = resample.pcm_zoom(wmix.cfg.chn, wmix.cfg.freq, pcm,
+                                    chn, freq)
+            enc, blob = aacenc.aac_encode(enc, out, chn, freq)
+            if len(blob) > 7:
+                # adts_buffer_fullness (faac writes 0x7FF): timestamp
+                # advances by (fullness+1)/2 = 1024 per frame
+                fullness = ((blob[5] & 0x1F) << 6) | (blob[6] >> 2)
+                ss.header.timestamp = (ss.header.timestamp +
+                                       (fullness + 1) // 2) & 0xFFFFFFFF
+                if ss.send(blob[7:]) < 0:
+                    time.sleep(1.0)
+                    ss.reconnect(url, port, bind_mode)
+                    break
+    except _Killed:
+        pass
+    finally:
+        ss.close()
+        tm.close()
+        wmix.thread_record -= 1
+
+
+def rtp_recv_aac(wmix, mtype: int, value: bytes):
+    """wmix_thread_rtp_recv_aac (src/wmixTask.c:799-1016): RTP AAC ->
+    re-wrap with a synthesized ADTS header -> decode -> mix; the decoder
+    renegotiates chn/freq at runtime from the decoded frames
+    (:921-944)."""
+    from wmix_tpu.codecs import aac as aacc
+    from wmix_tpu.codecs import adts
+    chn, sample, freq, port, bind_mode, url, msg_path = _parse_rtp(value)
+    reduce = ((mtype >> 8) & 0xFF) + 1
+    reduce_skip = False
+    loop_word = wmix.loop_word_rtp
+    try:
+        ss = rtp.RtpSocket(url, port, bind_mode)
+    except OSError as e:
+        print(f"wmix-tpu: rtp_socket {url}:{port} err: {e}")
+        return
+    tm = _TaskMsg(msg_path,
+                  f"rtp recv aac, chn {chn}, freq {freq}, "
+                  f"url {url}:{port}")
+
+    if reduce > 1 and wmix.reduce_mode == 1:
+        wmix.reduce_mode = reduce
+        reduce_skip = True
+    else:
+        reduce = 1
+
+    dec = None
+    head, tick = 0, 0
+    ctrl = 0
+    recv_timeout = 0
+    wmix.thread_play += 1
+    try:
+        while wmix.run and loop_word == wmix.loop_word_rtp:
+            c = tm.poll()
+            if c == WCT_RESET:
+                ss.reconnect(url, port, bind_mode)
+                ctrl = WCT_CLEAR
+            elif c == WCT_STOP:
+                break
+            elif c is not None:
+                ctrl = c
+            got = ss.recv()
+            if got is not None and got[2] > 0:
+                _, payload, size = got
+                # payload[4:] skips the AU header (wmixTask.c:913 uses
+                # &rtpPacket.payload[4])
+                frame = adts.create_header(chn, freq, 0x7FF, size)[0] + \
+                    payload[4:4 + size]
+                try:
+                    dec, raw, consumed, dchn, dfreq = aacc.aac_decode(
+                        dec, frame)
+                except aacc.AacError as e:
+                    print(f"wmix-tpu: rtp aac_decode err: {e}")
+                    raw = None
+                recv_timeout = 0
+                if raw:
+                    if dchn and dfreq and (dchn != chn or dfreq != freq):
+                        # runtime renegotiation (wmixTask.c:921-944)
+                        chn, freq = dchn, dfreq
+                        tm.describe(f"rtp recv aac, chn {chn}, "
+                                    f"freq {freq}, url {url}:{port}")
+                    pcm = raw
+                    if ctrl == WCT_SILENCE:
+                        pcm = bytes(len(pcm))
+                    head, tick = wmix.load_data(pcm, freq, chn, sample,
+                                                head, reduce, tick)
                 continue
             recv_timeout += 5
             if recv_timeout >= 3000:
