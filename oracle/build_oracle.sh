@@ -142,6 +142,26 @@ if [ ! -f "$ORACLE/libfaac_probe.so" ]; then
       || echo "faac probe build failed (see faac_probe.log)" )
 fi
 
+# ---- 4f. speex-1.2beta3 echo canceller probe (float build) for the
+# Speex alternate AEC backend's parity tests (src/speexType.c) ----
+if [ ! -f "$ORACLE/libspeex_probe.so" ]; then
+  rm -rf "$ORACLE/spxsrc" && mkdir -p "$ORACLE/spxsrc"
+  tar -xzf "$REF/pkg/speex-1.2beta3.tar.gz" -C "$ORACLE/spxsrc"
+  ( cd "$ORACLE/spxsrc"/speex-1.2beta3
+    ./configure >/dev/null 2>&1 || true
+    cd libspeex
+    cat > _probe_unity.c <<'UNITY'
+#include "mdf.c"
+#include "fftwrap.c"
+#include "smallft.c"
+UNITY
+    gcc -fPIC -shared -o "$ORACLE/libspeex_probe.so" -Dstatic= \
+      -D'inline=' _probe_unity.c -DUSE_SMALLFT -DEXPORT= -I. \
+      -I../include -DHAVE_CONFIG_H -I.. -lm \
+      2> "$ORACLE/speex_probe.log" \
+      || echo "speex probe build failed (see speex_probe.log)" )
+fi
+
 # ---- 5. reference core + shim, one .so per engine geometry ----
 for geom in $GEOMETRIES; do
   chn=${geom%x*}

@@ -28,6 +28,11 @@ class EngineConfig:
     sample: int = 16
     interval_ms: int = 20
     aec_interval_ms: int = 400
+    # The reference picks AEC/NS variants at COMPILE time
+    # (MAKE_WEBRTC_AEC vs MAKE_SPEEX_BETA3, src/webrtc.c:172-191; NS vs
+    # NSX :511-530); the rebuild makes them per-engine config.
+    aec_backend: str = "webrtc"     # "webrtc" | "aecm" | "speex"
+    ns_backend: str = "ns"          # "ns" | "nsx"
 
     def __post_init__(self):
         if self.sample != 16:
@@ -36,6 +41,10 @@ class EngineConfig:
             raise ValueError("interval_ms must be >=10 and a multiple of 10")
         if self.chn not in (1, 2):
             raise ValueError("chn must be 1 or 2")
+        if self.aec_backend not in ("webrtc", "aecm", "speex"):
+            raise ValueError("aec_backend must be webrtc/aecm/speex")
+        if self.ns_backend not in ("ns", "nsx"):
+            raise ValueError("ns_backend must be ns/nsx")
 
     # --- derived sizes, formulas from src/wmixConf.h:115-124 ---
 

@@ -519,13 +519,25 @@ class WmixDaemon:
             if cfg.freq <= 32000 else None
         if ns:
             buf = ns.process(buf)
-        aecp = self._wr(WR_AEC, lambda: aec_mod.AecProcessor(
-            cfg.chn, cfg.freq, cfg.interval_ms)) \
-            if cfg.freq <= 16000 else None
-        if aecp:
-            far = np.frombuffer(self._play_pkg_get(cfg.aec_interval_ms),
-                                np.int16)
-            buf = aecp.process2(far, buf, 0)
+        if cfg.aec_backend == "speex":
+            # MAKE_SPEEX_BETA3 alternate (src/wmix.c:660-676): same far
+            # FIFO tap, the speexType wrapper handles the plumbing quirk
+            from wmix_tpu.dsp import speex_aec
+            aecp = self._wr(WR_AEC, lambda: speex_aec.SpxAecProcessor(
+                cfg.chn, cfg.freq, cfg.interval_ms, 0)) \
+                if cfg.freq <= 16000 and cfg.freq % 8000 == 0 else None
+            if aecp:
+                far = np.frombuffer(
+                    self._play_pkg_get(cfg.aec_interval_ms), np.int16)
+                buf = aecp.process2(far, buf)
+        else:
+            aecp = self._wr(WR_AEC, lambda: aec_mod.AecProcessor(
+                cfg.chn, cfg.freq, cfg.interval_ms)) \
+                if cfg.freq <= 16000 else None
+            if aecp:
+                far = np.frombuffer(
+                    self._play_pkg_get(cfg.aec_interval_ms), np.int16)
+                buf = aecp.process2(far, buf, 0)
         agc = self._wr(WR_AGC, lambda: _AgcProc(cfg.chn, cfg.freq,
                                                 self.volume_agc)) \
             if cfg.freq <= 32000 else None
