@@ -162,6 +162,30 @@ UNITY
       || echo "speex probe build failed (see speex_probe.log)" )
 fi
 
+# ---- 4g. AECM probe (-Dstatic= unity over aecm + delay estimator,
+# spl compiled normally) for the mobile-AEC backend's parity tests ----
+if [ ! -f "$ORACLE/libaecm_probe.so" ]; then
+  WCUT="$ORACLE/src_webrtc/webrtc_cut"
+  ( cd "$WCUT"
+    BD=$(mktemp -d)
+    cat > "$BD/unity.c" <<'UNITY'
+#include "webrtc/modules/audio_processing/aecm/aecm_core.c"
+#include "webrtc/modules/audio_processing/aecm/aecm_core_c.c"
+#include "webrtc/modules/audio_processing/aecm/echo_control_mobile.c"
+#include "webrtc/modules/audio_processing/utility/delay_estimator.c"
+#include "webrtc/modules/audio_processing/utility/delay_estimator_wrapper.c"
+UNITY
+    gcc -fPIC -c -o "$BD/unity.o" -Dstatic= -D'__inline=' "$BD/unity.c" \
+      -I. -DWEBRTC_POSIX
+    for f in $(ls webrtc/common_audio/signal_processing/*.c | \
+               grep -vE "mips|neon|armv7") webrtc/common_audio/ring_buffer.c
+    do
+      gcc -fPIC -c -o "$BD/$(basename $f .c).o" "$f" -I. -DWEBRTC_POSIX
+    done
+    gcc -fPIC -shared -o "$ORACLE/libaecm_probe.so" "$BD"/*.o -lm
+    rm -rf "$BD" )
+fi
+
 # ---- 5. reference core + shim, one .so per engine geometry ----
 for geom in $GEOMETRIES; do
   chn=${geom%x*}

@@ -310,3 +310,36 @@ def test_rtp_aac_loopback(daemon):
     _pump_until(d, lambda: d.thread_record == 0 and d.thread_play == 0,
                 max_ticks=2000)
     assert ok, "decoded RTP-AAC audio never reached the mix ring"
+
+
+@pytest.mark.parametrize("backend", ["aecm", "speex"])
+def test_alternate_aec_backend_heartbeat(backend, tmp_path):
+    """The record heartbeat routes through the alternate AEC backends
+    (src/webrtc.c:172-190 AECM switch; src/wmix.c:660-676 speex) and
+    still lands mic audio in the shm ring."""
+    hal = LoopHal()
+    d = WmixDaemon(EngineConfig(chn=1, freq=8000, aec_backend=backend),
+                   hal=hal)
+    try:
+        mic = (np.sin(np.arange(16000) * 0.21) * 8000).astype(np.int16)
+        hal.feed_mic(mic.tobytes())
+        client.webrtc_switch("aec", True)
+        client.mem_switch(True)
+        d.pump(1)
+        from wmix_tpu.service.mem import MemReader
+        rd = MemReader(sysv.MEM_AI_ORIGIN_CHAR)
+        rd.addr = int(rd.circle.w)
+        assert _pump_until(d, lambda: d.record_run and
+                           d.obj_ai is not None)
+        got = np.zeros(0, np.int16)
+        for _ in range(60):
+            d.pump(1)
+            got = np.concatenate([got, rd.read(4000)])
+            if got.size >= 3200:
+                break
+        client.mem_switch(False)
+        assert d._webrtc[1] is not None, "AEC backend never instantiated"
+        assert got.size >= 3200
+        assert np.count_nonzero(got), "audio lost in the AEC backend"
+    finally:
+        d.stop()

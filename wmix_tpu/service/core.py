@@ -530,6 +530,18 @@ class WmixDaemon:
                 far = np.frombuffer(
                     self._play_pkg_get(cfg.aec_interval_ms), np.int16)
                 buf = aecp.process2(far, buf)
+        elif cfg.aec_backend == "aecm":
+            # mobile AEC (src/webrtc.c with MAKE_WEBRTC_AEC undefined:
+            # the #undef switch at webrtc.c:172-190 routes aec_* to
+            # WebRtcAecm_*); same far FIFO tap and call pattern
+            from wmix_tpu.dsp import aecm as aecm_mod
+            aecp = self._wr(WR_AEC, lambda: aecm_mod.AecmProcessor(
+                cfg.chn, cfg.freq, cfg.interval_ms)) \
+                if cfg.freq <= 16000 and cfg.freq % 8000 == 0 else None
+            if aecp:
+                far = np.frombuffer(
+                    self._play_pkg_get(cfg.aec_interval_ms), np.int16)
+                buf = aecp.process2(far, buf, 0)
         else:
             aecp = self._wr(WR_AEC, lambda: aec_mod.AecProcessor(
                 cfg.chn, cfg.freq, cfg.interval_ms)) \
