@@ -186,6 +186,28 @@ UNITY
     rm -rf "$BD" )
 fi
 
+# ---- 4h. NSX probe (-Dstatic= unity over nsx_core*, spl compiled
+# normally) for the fixed-point NS backend's parity tests ----
+if [ ! -f "$ORACLE/libnsx_probe.so" ]; then
+  WCUT="$ORACLE/src_webrtc/webrtc_cut"
+  ( cd "$WCUT"
+    BD=$(mktemp -d)
+    cat > "$BD/unity.c" <<'UNITY'
+#include "webrtc/modules/audio_processing/ns/nsx_core.c"
+#include "webrtc/modules/audio_processing/ns/nsx_core_c.c"
+#include "webrtc/modules/audio_processing/ns/noise_suppression_x.c"
+UNITY
+    gcc -fPIC -c -o "$BD/unity.o" -Dstatic= -D'__inline=' "$BD/unity.c" \
+      -I. -DWEBRTC_POSIX
+    for f in $(ls webrtc/common_audio/signal_processing/*.c | \
+               grep -vE "mips|neon|armv7")
+    do
+      gcc -fPIC -c -o "$BD/$(basename $f .c).o" "$f" -I. -DWEBRTC_POSIX
+    done
+    gcc -fPIC -shared -o "$ORACLE/libnsx_probe.so" "$BD"/*.o -lm
+    rm -rf "$BD" )
+fi
+
 # ---- 5. reference core + shim, one .so per engine geometry ----
 for geom in $GEOMETRIES; do
   chn=${geom%x*}

@@ -312,18 +312,19 @@ def test_rtp_aac_loopback(daemon):
     assert ok, "decoded RTP-AAC audio never reached the mix ring"
 
 
-@pytest.mark.parametrize("backend", ["aecm", "speex"])
+@pytest.mark.parametrize("backend", ["aecm", "speex", "nsx"])
 def test_alternate_aec_backend_heartbeat(backend, tmp_path):
-    """The record heartbeat routes through the alternate AEC backends
-    (src/webrtc.c:172-190 AECM switch; src/wmix.c:660-676 speex) and
-    still lands mic audio in the shm ring."""
+    """The record heartbeat routes through the alternate backends
+    (src/webrtc.c:172-190 AECM switch, :511-530 NSX switch;
+    src/wmix.c:660-676 speex) and still lands mic audio in the ring."""
     hal = LoopHal()
-    d = WmixDaemon(EngineConfig(chn=1, freq=8000, aec_backend=backend),
-                   hal=hal)
+    kw = {"ns_backend": "nsx"} if backend == "nsx" else \
+        {"aec_backend": backend}
+    d = WmixDaemon(EngineConfig(chn=1, freq=8000, **kw), hal=hal)
     try:
         mic = (np.sin(np.arange(16000) * 0.21) * 8000).astype(np.int16)
         hal.feed_mic(mic.tobytes())
-        client.webrtc_switch("aec", True)
+        client.webrtc_switch("ns" if backend == "nsx" else "aec", True)
         client.mem_switch(True)
         d.pump(1)
         from wmix_tpu.service.mem import MemReader
@@ -338,7 +339,8 @@ def test_alternate_aec_backend_heartbeat(backend, tmp_path):
             if got.size >= 3200:
                 break
         client.mem_switch(False)
-        assert d._webrtc[1] is not None, "AEC backend never instantiated"
+        slot = 2 if backend == "nsx" else 1  # WR_NS / WR_AEC
+        assert d._webrtc[slot] is not None, "backend never instantiated"
         assert got.size >= 3200
         assert np.count_nonzero(got), "audio lost in the AEC backend"
     finally:

@@ -200,6 +200,7 @@ def _bit_reverse_perm(stages: int) -> np.ndarray:
 
 
 _PERM7 = _bit_reverse_perm(7)
+_PERMS = {7: _PERM7, 8: _bit_reverse_perm(8)}
 
 CFFTSFT = 14
 CFFTRND = 1
@@ -288,27 +289,28 @@ def _w16a(a: np.ndarray) -> np.ndarray:
     return ((a + 0x8000) & 0xFFFF) - 0x8000
 
 
-def real_forward_fft(real_in: np.ndarray) -> tuple:
-    """WebRtcSpl_RealForwardFFT, order 7: returns int64[2*(PART_LEN+1)]
-    of interleaved re/im (the first n+2 of the complex output)."""
-    buf = np.zeros(2 * PART_LEN2, np.int64)
+def real_forward_fft(real_in: np.ndarray, order: int = 7) -> tuple:
+    """WebRtcSpl_RealForwardFFT: returns int64[n+2] of interleaved
+    re/im (the first n+2 words of the complex output)."""
+    n = 1 << order
+    buf = np.zeros(2 * n, np.int64)
     buf[0::2] = real_in
-    c = buf.reshape(-1, 2)[_PERM7].reshape(-1).copy()
-    complex_fft_mode1(c, PART_LEN_SHIFT)
-    return c[:PART_LEN2 + 2]
+    c = buf.reshape(-1, 2)[_PERMS[order]].reshape(-1).copy()
+    complex_fft_mode1(c, order)
+    return c[:n + 2]
 
 
-def real_inverse_fft(complex_in: np.ndarray) -> tuple:
-    """WebRtcSpl_RealInverseFFT, order 7: complex_in int64[n+2]
-    interleaved; returns (real_out int64[n], scale)."""
-    n = PART_LEN2
+def real_inverse_fft(complex_in: np.ndarray, order: int = 7) -> tuple:
+    """WebRtcSpl_RealInverseFFT: complex_in int64[n+2] interleaved;
+    returns (real_out int64[n], scale)."""
+    n = 1 << order
     buf = np.zeros(2 * n, np.int64)
     buf[:n + 2] = complex_in
     for i in range(n + 2, 2 * n, 2):
         buf[i] = complex_in[2 * n - i]
         buf[i + 1] = -complex_in[2 * n - i + 1]
-    c = buf.reshape(-1, 2)[_PERM7].reshape(-1).copy()
-    scale = complex_ifft_mode1(c, PART_LEN_SHIFT)
+    c = buf.reshape(-1, 2)[_PERMS[order]].reshape(-1).copy()
+    scale = complex_ifft_mode1(c, order)
     return c[0::2][:n].copy(), scale
 
 

@@ -515,8 +515,15 @@ class WmixDaemon:
         self._record_pkg_add(raw)
         buf = np.frombuffer(raw, np.int16).copy()
 
-        ns = self._wr(WR_NS, lambda: _NsProc(cfg.chn, cfg.freq)) \
-            if cfg.freq <= 32000 else None
+        if cfg.ns_backend == "nsx":
+            # fixed-point NSX alternate (webrtc.c:511-530 with
+            # MAKE_WEBRTC_NSX defined; policy NS_AGGRESSIVE=2)
+            from wmix_tpu.dsp import nsx as nsx_mod
+            ns = self._wr(WR_NS, lambda: nsx_mod.NsxProcessor(
+                cfg.chn, cfg.freq, 2)) if cfg.freq <= 32000 else None
+        else:
+            ns = self._wr(WR_NS, lambda: _NsProc(cfg.chn, cfg.freq)) \
+                if cfg.freq <= 32000 else None
         if ns:
             buf = ns.process(buf)
         if cfg.aec_backend == "speex":
