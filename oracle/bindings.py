@@ -169,12 +169,18 @@ class Oracle:
     # ---------------- codecs ----------------
 
     def mp3_decode(self, data: bytes):
-        data_a = np.frombuffer(bytes(data), dtype=np.uint8)
+        # libmad has no bounds check on Layer I/II sample reads: corrupt
+        # frames can over-read far past the buffer (the guard only covers
+        # header peeks).  A C binary's static buffer is zero-tailed, so
+        # pad generously to make the in-python result match the binary.
+        n_real = len(data)
+        data_a = np.zeros(n_real + (1 << 20), dtype=np.uint8)
+        data_a[:n_real] = np.frombuffer(bytes(data), dtype=np.uint8)
         cap = 1 << 26  # 64M samples is plenty for the fixtures
         out = np.zeros(cap, dtype=np.int16)
         freq = C.c_uint32(0)
         chn = C.c_uint16(0)
-        n = self.lib.shim_mp3_decode(_ptr(data_a, C.c_uint8), data_a.size,
+        n = self.lib.shim_mp3_decode(_ptr(data_a, C.c_uint8), n_real,
                                      _ptr(out, C.c_int16), cap,
                                      C.byref(freq), C.byref(chn))
         return out[:n].copy(), freq.value, chn.value

@@ -89,6 +89,11 @@ if [ ! -f "$ORACLE/libmad_probe_l3.so" ]; then
     gcc -fPIC -shared -o "$ORACLE/libmad_probe_synth.so" -Dstatic= -Dinline= \
       synth.c fixed.c -DFPM_DEFAULT -DOPT_SPEED -DHAVE_CONFIG_H -I. )
 fi
+if [ ! -f "$ORACLE/libmad_probe_l12.so" ]; then
+  ( cd "$ORACLE/madsrc/libmad-0.15.1b"
+    gcc -fPIC -shared -o "$ORACLE/libmad_probe_l12.so" -Dstatic= -Dinline= \
+      layer12.c bit.c fixed.c -DFPM_DEFAULT -DOPT_SPEED -DHAVE_CONFIG_H -I. )
+fi
 
 # ---- 4e. faad2/faac internals probes (-Dstatic=) for the AAC codec's
 # per-stage parity tests (same method as the libmad probes) ----

@@ -135,6 +135,7 @@ class Header:
     samplerate: int = 0
     flags: int = 0
     crc_target: int = 0
+    crc_target_init: int = 0   # crc_check seed (frame.c:155)
 
     @property
     def nchannels(self) -> int:
@@ -142,7 +143,12 @@ class Header:
 
     @property
     def nbsamples(self) -> int:
-        return 18 if (self.flags & F_LSF_EXT) else 36
+        """MAD_NSBSAMPLES: 12 for Layer I, else 36 (18 for LSF III)."""
+        if self.layer == 1:
+            return 12
+        if self.layer == 3 and (self.flags & F_LSF_EXT):
+            return 18
+        return 36
 
 
 class MadError(Exception):
@@ -971,9 +977,10 @@ class Synth:
                 fx = filt[0, (~phase) & 1]
                 fo = filt[1, (~phase) & 1]
 
-                pcm[ch, out_i] = I32(
-                    I32((fe[0] * d0e).sum()) - I32((fx[0] * d0o).sum())
-                ) >> 2
+                d0 = (int(I32((fe[0] * d0e).sum())) -
+                      int(I32((fx[0] * d0o).sum())))  # int32 wrap:
+                d0 = ((d0 + 0x80000000) & 0xFFFFFFFF) - 0x80000000
+                pcm[ch, out_i] = I32(d0) >> 2
                 fwd = ((fe[1:] * dfe).sum(axis=1) -
                        (fo[:15] * dfo).sum(axis=1)).astype(I32)
                 pcm[ch, out_i + 1:out_i + 16] = fwd >> 2
@@ -991,6 +998,214 @@ class Synth:
 # ---------------------------------------------------------------------
 # frame decode (III_decode, layer3.c:2348-2510)
 # ---------------------------------------------------------------------
+
+# ---------------------------------------------------------------------
+# Layer I / Layer II (layer12.c), same Q28 fixed-point pipeline feeding
+# the shared polyphase synthesis
+# ---------------------------------------------------------------------
+
+from wmix_tpu.codecs._mp3_l12_tables import (BITALLOC_TABLE, LINEAR_TABLE,
+                                             OFFSET_TABLE, QC_TABLE,
+                                             SBQUANT_TABLE, SF_TABLE)
+
+
+def _bit_crc(data: bytes, bitpos: int, length: int, init: int) -> int:
+    """mad_bit_crc: CRC-16 poly 0x8005, MSB-first, over `length` bits."""
+    crc = init & 0xFFFF
+    for k in range(length):
+        p = bitpos + k
+        bit = (data[p >> 3] >> (7 - (p & 7))) & 1
+        fb = ((crc >> 15) & 1) ^ bit
+        crc = (crc << 1) & 0xFFFF
+        if fb:
+            crc ^= 0x8005
+    return crc
+
+
+def _i_sample(b: Bits, nb: int) -> int:
+    """I_sample (layer12.c:74-100): invert MSB, sign-extend, requantize
+    s'' = (2^nb / (2^nb - 1)) * (s''' + 2^(-nb+1))."""
+    sample = b.read(nb)
+    sample ^= 1 << (nb - 1)
+    sample |= -(sample & (1 << (nb - 1)))
+    sample <<= 28 - (nb - 1)           # MAD_F_FRACBITS
+    sample += 1 << (28 - (nb - 1))     # MAD_F_ONE >> (nb - 1)
+    return f_mul(sample, LINEAR_TABLE[nb - 2])
+
+
+def _layer_I(b: Bits, h: Header, sbsample: np.ndarray, data: bytes,
+             start_bitpos: int):
+    """mad_layer_I (layer12.c:106-213) -> fills sbsample[ch][0:12][sb]."""
+    nch = h.nchannels
+    bound = 32
+    if h.mode == MODE_JOINT:
+        bound = 4 + h.mode_extension * 4
+
+    if h.flags & F_PROTECTION:
+        crc = _bit_crc(data, start_bitpos,
+                       4 * (bound * nch + (32 - bound)), h.crc_target_init)
+        if crc != h.crc_target:
+            raise MadError("BADCRC")
+
+    allocation = np.zeros((2, 32), np.int64)
+    scalefactor = np.zeros((2, 32), np.int64)
+    for sb in range(bound):
+        for ch in range(nch):
+            nb = b.read(4)
+            if nb == 15:
+                raise MadError("BADBITALLOC")
+            allocation[ch][sb] = nb + 1 if nb else 0
+    for sb in range(bound, 32):
+        nb = b.read(4)
+        if nb == 15:
+            raise MadError("BADBITALLOC")
+        allocation[0][sb] = allocation[1][sb] = nb + 1 if nb else 0
+
+    for sb in range(32):
+        for ch in range(nch):
+            if allocation[ch][sb]:
+                scalefactor[ch][sb] = b.read(6)
+
+    for s in range(12):
+        for sb in range(bound):
+            for ch in range(nch):
+                nb = int(allocation[ch][sb])
+                sbsample[ch][s][sb] = f_mul(
+                    _i_sample(b, nb),
+                    SF_TABLE[scalefactor[ch][sb]]) if nb else 0
+        for sb in range(bound, 32):
+            nb = int(allocation[0][sb])
+            if nb:
+                sample = _i_sample(b, nb)
+                for ch in range(nch):
+                    sbsample[ch][s][sb] = f_mul(
+                        sample, SF_TABLE[scalefactor[ch][sb]])
+            else:
+                for ch in range(nch):
+                    sbsample[ch][s][sb] = 0
+
+
+def _ii_samples(b: Bits, qc, out):
+    """II_samples (layer12.c:291-325): s'' = C * (s''' + D)."""
+    nlevels, group, bits, c_q28, d_q28 = qc
+    sample = [0, 0, 0]
+    if group:
+        nb = group
+        c = b.read(bits)
+        for s in range(3):
+            sample[s] = c % nlevels
+            c //= nlevels
+    else:
+        nb = bits
+        for s in range(3):
+            sample[s] = b.read(nb)
+    for s in range(3):
+        requantized = sample[s] ^ (1 << (nb - 1))
+        requantized |= -(requantized & (1 << (nb - 1)))
+        requantized <<= 28 - (nb - 1)
+        out[s] = f_mul(requantized + d_q28, c_q28)
+
+
+def _layer_II(b: Bits, h: Header, sbsample: np.ndarray, data: bytes,
+              start_bitpos: int):
+    """mad_layer_II (layer12.c:331-534)."""
+    nch = h.nchannels
+    if h.flags & F_LSF_EXT:
+        index = 4
+    else:
+        bitrate_per_channel = h.bitrate
+        if nch == 2:
+            bitrate_per_channel //= 2
+        else:
+            if bitrate_per_channel > 192000:
+                raise MadError("BADMODE")
+        if bitrate_per_channel <= 48000:
+            index = 3 if h.samplerate == 32000 else 2
+        elif bitrate_per_channel <= 80000:
+            index = 0
+        else:
+            index = 0 if h.samplerate == 48000 else 1
+
+    sblimit, offsets = SBQUANT_TABLE[index]
+    bound = 32
+    if h.mode == MODE_JOINT:
+        bound = 4 + h.mode_extension * 4
+    if bound > sblimit:
+        bound = sblimit
+
+    crc_start = b.pos
+
+    allocation = np.zeros((2, 32), np.int64)
+    scfsi = np.zeros((2, 32), np.int64)
+    scalefactor = np.zeros((2, 32, 3), np.int64)
+    for sb in range(bound):
+        nbal = BITALLOC_TABLE[offsets[sb]][0]
+        for ch in range(nch):
+            allocation[ch][sb] = b.read(nbal)
+    for sb in range(bound, sblimit):
+        nbal = BITALLOC_TABLE[offsets[sb]][0]
+        allocation[0][sb] = allocation[1][sb] = b.read(nbal)
+
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if allocation[ch][sb]:
+                scfsi[ch][sb] = b.read(2)
+
+    if h.flags & F_PROTECTION:
+        crc = _bit_crc(data, crc_start, b.pos - crc_start,
+                       h.crc_target_init)
+        if crc != h.crc_target:
+            raise MadError("BADCRC")
+
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if allocation[ch][sb]:
+                scalefactor[ch][sb][0] = b.read(6)
+                si = int(scfsi[ch][sb])
+                if si == 2:
+                    scalefactor[ch][sb][2] = scalefactor[ch][sb][1] = \
+                        scalefactor[ch][sb][0]
+                else:
+                    if si == 0:
+                        scalefactor[ch][sb][1] = b.read(6)
+                    scalefactor[ch][sb][2] = b.read(6)
+                if si & 1:
+                    scalefactor[ch][sb][1] = scalefactor[ch][sb][si - 1]
+
+    samples = [0, 0, 0]
+    for gr in range(12):
+        for sb in range(bound):
+            for ch in range(nch):
+                idx = int(allocation[ch][sb])
+                if idx:
+                    qi = OFFSET_TABLE[
+                        BITALLOC_TABLE[offsets[sb]][1]][idx - 1]
+                    _ii_samples(b, QC_TABLE[qi], samples)
+                    sf = SF_TABLE[scalefactor[ch][sb][gr // 4]]
+                    for s in range(3):
+                        sbsample[ch][3 * gr + s][sb] = f_mul(samples[s],
+                                                             sf)
+                else:
+                    for s in range(3):
+                        sbsample[ch][3 * gr + s][sb] = 0
+        for sb in range(bound, sblimit):
+            idx = int(allocation[0][sb])
+            if idx:
+                qi = OFFSET_TABLE[BITALLOC_TABLE[offsets[sb]][1]][idx - 1]
+                _ii_samples(b, QC_TABLE[qi], samples)
+                for ch in range(nch):
+                    sf = SF_TABLE[scalefactor[ch][sb][gr // 4]]
+                    for s in range(3):
+                        sbsample[ch][3 * gr + s][sb] = f_mul(samples[s],
+                                                             sf)
+            else:
+                for ch in range(nch):
+                    for s in range(3):
+                        sbsample[ch][3 * gr + s][sb] = 0
+        for ch in range(nch):
+            for s in range(3):
+                sbsample[ch][3 * gr + s][sblimit:32] = 0
+
 
 class FrameState:
     """Persistent mad_frame state: the 576-sample block overlap."""
@@ -1127,37 +1342,61 @@ class Mp3Decoder:
         pos = 0
         end = len(data)
         nframes = 0
+        # mad_stream_buffer starts synced; only header-decode failures
+        # clear it, and the next-header verification below only runs
+        # while unsynced (frame.c:332-424)
+        sync = True
+
+        def _syncword(p):
+            return (p + 1 < end and data[p] == 0xFF and
+                    (data[p + 1] & 0xE0) == 0xE0)
+
         while True:
-            # sync (mad_stream_sync semantics)
-            while pos + 1 < end and not (
-                    data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0):
-                pos += 1
-            if pos + BUFFER_GUARD >= end:
-                break
+            if sync:
+                if end - pos < BUFFER_GUARD:
+                    break               # MAD_ERROR_BUFLEN
+                if not _syncword(pos):
+                    sync = False        # MAD_ERROR_LOSTSYNC
+                    pos += 1
+                    continue
+            else:
+                while pos + 1 < end and not _syncword(pos):
+                    pos += 1
+                if end - pos < BUFFER_GUARD:
+                    break
             b = Bits(data, pos * 8)
             try:
                 h = decode_header(b)
             except MadError:
-                pos += 1
-                continue
-            if h.layer != 3:
+                sync = False
                 pos += 1
                 continue
             if h.bitrate == 0:
+                sync = False
                 pos += 1                # free-format unsupported
                 continue
-            slots = 72 if (h.flags & F_LSF_EXT) else 144
-            N = slots * h.bitrate // h.samplerate + \
-                (1 if (h.flags & F_PADDING) else 0)
+            pad = 1 if (h.flags & F_PADDING) else 0
+            if h.layer == 1:
+                # Layer I slots are 4 bytes (frame.c:439-446)
+                N = (12 * h.bitrate // h.samplerate + pad) * 4
+            else:
+                slots = 72 if (h.layer == 3 and
+                               (h.flags & F_LSF_EXT)) else 144
+                N = slots * h.bitrate // h.samplerate + pad
             if pos + N + BUFFER_GUARD > end:
-                break                   # incomplete tail frame
+                break                   # incomplete tail frame (BUFLEN)
             next_frame = pos + N
-            if not (data[next_frame] == 0xFF and
-                    (data[next_frame + 1] & 0xE0) == 0xE0):
-                pos += 1
-                continue
+            if not sync:
+                # verify a valid frame header follows (frame.c:412-421)
+                if not _syncword(next_frame):
+                    pos += 1
+                    continue
+                sync = True
 
-            ok = self._decode_frame(data, b, h, pos, next_frame)
+            if h.layer == 3:
+                ok = self._decode_frame(data, b, h, pos, next_frame)
+            else:
+                ok = self._decode_frame_l12(data, b, h, pos)
             if ok:
                 nframes += 1
                 yield self._pcm_frame(h), h.samplerate, h.nchannels
@@ -1170,6 +1409,24 @@ class Mp3Decoder:
         ns = h.nbsamples
         pcm = self.synth.frame(self.fs.sbsample, nch, ns)
         return mad_scale(pcm)
+
+    def _decode_frame_l12(self, data, b: Bits, h: Header,
+                          this_frame: int) -> bool:
+        """Layer I/II frame: no bit reservoir, decode at the stream
+        pointer (after header + optional CRC word)."""
+        if h.flags & F_PROTECTION:
+            # CRC seed covers header bits 16..31 (frame.c:155)
+            h.crc_target_init = _bit_crc(data, this_frame * 8 + 16, 16,
+                                         0xFFFF)
+        try:
+            if h.layer == 1:
+                _layer_I(b, h, self.fs.sbsample, data, b.pos)
+            else:
+                _layer_II(b, h, self.fs.sbsample, data, b.pos)
+        except MadError:
+            self.md_len = 0
+            return False
+        return True
 
     def _decode_frame(self, data, b: Bits, h: Header, this_frame: int,
                       next_frame: int) -> bool:
