@@ -96,6 +96,12 @@ class RecordChain:
             stepper.zoom_src_index(freq, 8000, self.pkg_len), np.int64) \
             if freq != 8000 else None
 
+        # per-chunk dispatch latency accounting (WMIX_TRACE_STEPS=1;
+        # SURVEY §5 tracing row) — zero overhead when disabled
+        from wmix_tpu.utils import trace as _trace
+        self.step_timer = _trace.StepTimer() \
+            if _trace.steps_enabled() else None
+
     def reset_slots(self, slots) -> None:
         """Reinitialize the DSP state of the given stream slots (stream
         admission/reaping — SURVEY §2.3 'async task scheduling': slot
@@ -179,6 +185,14 @@ class RecordChain:
         stretches (the AEC startup) fall back to per-run grouping.
         Returns (origin [K, B, pkg_len] int16, pkg8k [K, B, n8k] int16,
         vad_flags [K, B] int32)."""
+        if self.step_timer is not None:
+            self.step_timer.budget_ms = \
+                mic_chunk.shape[0] * self.interval_ms
+            with self.step_timer.step():
+                return self._run_chunk(mic_chunk, play_chunk)
+        return self._run_chunk(mic_chunk, play_chunk)
+
+    def _run_chunk(self, mic_chunk: np.ndarray, play_chunk: np.ndarray):
         K = mic_chunk.shape[0]
         plans = [self._plan_tick() for _ in range(K)]
         nsigs = [_normalize_sig(sig) for (_a, _g, sig, _d) in plans]

@@ -5,6 +5,7 @@ Mirrors src/wmix.c main (:2064-2183) + wmix_start/main_loop
 core stops (the watchdog loop)."""
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -37,12 +38,26 @@ def main(argv=None) -> int:
             hal_name = args[i]
         elif a in ("-?", "--help"):
             print("usage: daemon [-c chn] [-f freq] [-t interval_ms] [-d] "
-                  "[--hal null|loop]")
+                  "[--hal null|loop|alsa]")
             return 0
         i += 1
 
     cfg = EngineConfig(chn=chn, freq=freq, interval_ms=interval)
-    hal = LoopHal() if hal_name == "loop" else NullHal()
+    if hal_name == "alsa":
+        # the reference's default platform (platform/alsa/plat.c)
+        from wmix_tpu.service.hal_alsa import AlsaHal
+        hal = AlsaHal()
+    else:
+        hal = LoopHal() if hal_name == "loop" else NullHal()
+
+    # WMIX_TRACE=<logdir>: capture a jax profiler trace for the daemon
+    # lifetime (utils/trace.py; SURVEY §5 tracing row)
+    trace_ctx = None
+    logdir = os.environ.get("WMIX_TRACE")
+    if logdir:
+        from wmix_tpu.utils.trace import profile
+        trace_ctx = profile(logdir)
+        trace_ctx.__enter__()
 
     # watchdog: restart the core when it exits without a SIGINT
     # (main_loop, src/wmix.c:2015-2046)
@@ -55,6 +70,8 @@ def main(argv=None) -> int:
                 time.sleep(0.5)
         except KeyboardInterrupt:
             d.stop()
+            if trace_ctx is not None:
+                trace_ctx.__exit__(None, None, None)
             return 0
         d.stop()
         time.sleep(0.5)
