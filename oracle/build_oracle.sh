@@ -147,6 +147,61 @@ if [ ! -f "$ORACLE/libfaac_probe.so" ]; then
       || echo "faac probe build failed (see faac_probe.log)" )
 fi
 
+# ---- 4e2. faad2 SBR+PS probe (-Dstatic= unity WITH SBR_DEC/PS_DEC)
+# for the HE-AAC v2 decode path's per-stage parity tests ----
+if [ ! -f "$ORACLE/libfaad_sbr_probe.so" ]; then
+  rm -rf "$ORACLE/faadsbrsrc" && mkdir -p "$ORACLE/faadsbrsrc"
+  tar -xzf "$REF/pkg/faad2-2.8.8.tar.gz" -C "$ORACLE/faadsbrsrc"
+  ( cd "$ORACLE/faadsbrsrc/faad2-2.8.8"
+    ./configure >/dev/null 2>&1 || true
+    cd libfaad
+    sed -i 's|^#define INLINE __inline$|#define INLINE|; s|^#define INLINE inline$|#define INLINE|' common.h
+    cat > _probe_unity.c <<'UNITY'
+#include "bits.c"
+#include "common.c"
+#include "decoder.c"
+#include "syntax.c"
+#include "specrec.c"
+#include "huffman.c"
+#include "pulse.c"
+#include "tns.c"
+#include "ms.c"
+#include "is.c"
+#include "pns.c"
+#include "filtbank.c"
+#include "mdct.c"
+#include "cfft.c"
+#include "output.c"
+#include "drc.c"
+#include "error.c"
+#include "mp4.c"
+#include "hcr.c"
+#include "rvlc.c"
+#include "ic_predict.c"
+#include "lt_predict.c"
+#include "ssr.c"
+#include "ssr_fb.c"
+#include "ssr_ipqf.c"
+#include "sbr_dec.c"
+#include "sbr_syntax.c"
+#include "sbr_huff.c"
+#include "sbr_qmf.c"
+#include "sbr_dct.c"
+#include "sbr_fbt.c"
+#include "sbr_tf_grid.c"
+#include "sbr_e_nf.c"
+#include "sbr_hfgen.c"
+#include "sbr_hfadj.c"
+#include "ps_dec.c"
+#include "ps_syntax.c"
+UNITY
+    gcc -fPIC -shared -o "$ORACLE/libfaad_sbr_probe.so" -Dstatic= \
+      _probe_unity.c \
+      -I. -I../include -DHAVE_CONFIG_H -I.. -lm \
+      2> "$ORACLE/faad_sbr_probe.log" \
+      || echo "faad sbr probe build failed (see faad_sbr_probe.log)" )
+fi
+
 # ---- 4f. speex-1.2beta3 echo canceller probe (float build) for the
 # Speex alternate AEC backend's parity tests (src/speexType.c) ----
 if [ ! -f "$ORACLE/libspeex_probe.so" ]; then

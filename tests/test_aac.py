@@ -2,8 +2,9 @@
 aacType.c's aac_decode, /root/reference/src/aacType.c:125-255).
 
 The whole-stream gate is BIT-EXACT (0 mismatches) on the LC fixture
-2x44100.aac; the 2x32000.aac fixture is HE-AACv2 (SBR+PS over a 16 kHz
-mono LC core) and must raise a clear unsupported error until SBR lands.
+2x44100.aac; the 2x32000.aac fixture (16 kHz mono core, implicit SBR
+upsampling + mono-to-stereo upmatrix) is bit-exact through the ported
+SBR QMF bank (codecs/sbr.py).
 """
 import os
 
@@ -65,13 +66,30 @@ def test_decode2_fd_path_matches_buffer_path():
     np.testing.assert_array_equal(fd_pcm, buf_pcm[:fd_pcm.size])
 
 
-def test_implicit_sbr_stream_raises():
-    # 2x32000.aac is HE-AACv2: 16 kHz mono LC core that faad upsamples
-    # to 32 kHz stereo through SBR/PS — refuse rather than mis-decode
+@requires_oracle
+def test_implicit_sbr_fixture_bit_exact():
+    """2x32000.aac: 16 kHz mono LC core that faad upsamples to 32 kHz
+    through the SBR QMF bank (implicit signalling, no SBR payload in
+    the stream) and upmatrixes to stereo (decoder.c:1056-1063).  Full
+    stream must match the reference build sample for sample."""
+    from oracle.bindings import Oracle
     data = open(os.path.join(FIXDIR, "2x32000.aac"), "rb").read()
-    with pytest.raises(aac.AacError, match="SBR"):
-        dec = aac.AacDecoder()
-        dec.decode(data[:4096])
+    ref, rchn, rfreq = Oracle(2, 44100).aac_decode(data)
+    dec = None
+    pos = 0
+    outs = []
+    chn = freq = 0
+    while pos < len(data) - 7:
+        dec, pcm, consumed, c, f = aac.aac_decode(dec, data[pos:])
+        if pcm is None:
+            break
+        if pcm:
+            outs.append(np.frombuffer(pcm, np.int16))
+            chn, freq = c, f
+        pos += consumed
+    mine = np.concatenate(outs)
+    assert (chn, freq) == (rchn, rfreq) == (2, 32000)
+    np.testing.assert_array_equal(mine, ref)
 
 
 def test_adts_header_fields():

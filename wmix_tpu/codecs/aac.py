@@ -1079,6 +1079,14 @@ class AacDecoder:
         self.window_shape_prev = {}
         self.rng = [1, 1]
         self.frame = 0
+        # HE-AAC (SBR/PS) state, one sbr_info per channel element
+        self.sbr = {}
+        self.ps_used = {}
+        self.ps_used_global = False
+        self.sbr_present = False
+        self.force_up = False        # implicit signalling (<= 24 kHz)
+        self.fr_ch_ele = 0
+        self.element_output_channels = {}
 
     # -- NeAACDecInit: parse the first ADTS header only --
     def init(self, data: bytes) -> tuple:
@@ -1159,11 +1167,49 @@ class AacDecoder:
         _tag = ld.get(4)
         ics = ICStream()
         spec = self._individual_channel_stream(ld, ics, False)
+        # peek: an immediately following fill element carries this
+        # element's SBR data and must be read before reconstruction
+        # (syntax.c:92-103 in single_lfe_channel_element)
+        if ld.show(3) == ID_FIL:
+            ld.flush(3)
+            self._fill_element(ld, sbr_ele=self.fr_ch_ele,
+                               ele_id=ID_SCE)
         coef = quant_to_spec(ics, spec, self.frame_len)
         if ics.noise_used:
             pns_decode(ics, None, coef, None, self.frame_len, False,
                        self.rng)
-        return self._reconstruct(ics, coef, ch)
+        time_out = self._reconstruct(ics, coef, ch)
+        return self._apply_sbr_sce(time_out, ch)
+
+    def _sbr_for(self, ele: int, ele_id: int):
+        """specrec.c:1046-1054 / syntax.c:1070-1080 lazy init."""
+        from wmix_tpu.codecs import sbr as sbr_mod
+        if ele not in self.sbr:
+            self.sbr[ele] = sbr_mod.SbrInfo(
+                self.frame_len, ele_id,
+                2 * SAMPLE_RATES[self.sf_index], 0)
+        return self.sbr[ele]
+
+    def _apply_sbr_sce(self, time_out, ch):
+        """reconstruct_single_channel SBR tail (specrec.c:1038-1100)."""
+        from wmix_tpu.codecs import sbr as sbr_mod
+        ele = self.fr_ch_ele
+        if not (self.sbr_present or self.force_up):
+            self.element_output_channels[ele] = 1
+            return time_out
+        sbr = self._sbr_for(ele, ID_SCE)
+        if self.ps_used.get(ele):
+            left, right, _ret = sbr_mod.sbr_decode_single_frame_ps(
+                sbr, np.asarray(time_out, F32))
+            self.element_output_channels[ele] = 2
+            return (left, right)
+        out, _ret = sbr_mod.sbr_decode_single_frame(
+            sbr, np.asarray(time_out, F32))
+        if self.element_output_channels.get(ele) == 2:
+            # copy L to R when PS vanished mid-stream (specrec.c:1086)
+            return (out, out.copy())
+        self.element_output_channels[ele] = 1
+        return out
 
     def _decode_cpe(self, ld: Bits, ch: int):
         _tag = ld.get(4)
@@ -1196,19 +1242,38 @@ class AacDecoder:
         ms_decode(ics1, ics2, coef1, coef2, self.frame_len)
         is_decode(ics1, ics2, coef1, coef2, self.frame_len)
 
+        if ld.show(3) == ID_FIL:
+            ld.flush(3)
+            self._fill_element(ld, sbr_ele=self.fr_ch_ele,
+                               ele_id=ID_CPE)
+
         t1 = self._reconstruct(ics1, coef1, ch)
         t2 = self._reconstruct(ics2, coef2, ch + 1)
+        if self.sbr_present or self.force_up:
+            from wmix_tpu.codecs import sbr as sbr_mod
+            sbr = self._sbr_for(self.fr_ch_ele, ID_CPE)
+            t1, t2, _ret = sbr_mod.sbr_decode_couple_frame(
+                sbr, np.asarray(t1, F32), np.asarray(t2, F32))
         return t1, t2
 
-    def _fill_element(self, ld: Bits):
-        """fill_element (syntax.c:1042-1120): count + extension skip."""
+    def _fill_element(self, ld: Bits, sbr_ele: int = -1,
+                      ele_id: int = ID_SCE):
+        """fill_element (syntax.c:1042-1120): SBR data or skip."""
+        from wmix_tpu.codecs import sbr as sbr_mod
         count = ld.get(4)
         if count == 15:
             count += ld.get(8) - 1
         if count > 0 and ld.show(4) in (13, 14):
-            # EXT_SBR_DATA(_CRC): HE-AAC stream — SBR/PS reconstruction
-            # is not implemented yet (the 2x32000.aac fixture needs it)
-            raise AacError("SBR (HE-AAC) extension not supported")
+            # EXT_SBR_DATA(_CRC)
+            if sbr_ele < 0:
+                raise AacError("SBR data outside channel element")
+            sbr = self._sbr_for(sbr_ele, ele_id)
+            self.sbr_present = True
+            sbr.ret = sbr_mod.sbr_extension_data(ld, sbr, count, 0)
+            if sbr.ps_used:
+                self.ps_used[sbr_ele] = 1
+                self.ps_used_global = True
+            return
         # extension_payload consumed as opaque bytes (no DRC use)
         for _ in range(count):
             ld.get(8)
@@ -1262,29 +1327,35 @@ class AacDecoder:
         if self.sf_index is None:
             self.sf_index = adts["sf_index"]
             self.channels = adts["channel_configuration"]
-        if SAMPLE_RATES[self.sf_index] <= 24000:
-            # faad (SBR build, default dontUpSampleImplicitSBR=0) always
-            # upsamples <=24 kHz streams 2x through the SBR QMF bank and
-            # up-matrixes mono to stereo through PS (decoder.c:363-371,
-            # 1056-1062, 1138-1148); until that path is ported, decoding
-            # at the core rate would silently diverge from the reference
-            raise AacError(
-                "implicit SBR upsampling (<=24 kHz stream) not supported")
+        # implicit signalling: faad (default dontUpSampleImplicitSBR=0)
+        # always upsamples <=24 kHz streams 2x through the SBR QMF bank
+        # (decoder.c:363-371); PS up-matrixes mono to stereo when the
+        # SBR extension carries PS data
+        self.force_up = SAMPLE_RATES[self.sf_index] <= 24000
 
         chans = {}
         ch_base = 0
+        self.fr_ch_ele = 0
         while True:
             el = ld.get(3)
             if el == ID_END:
                 break
             if el == ID_SCE:
-                chans[ch_base] = self._decode_sce(ld, ch_base)
-                ch_base += 1
+                out = self._decode_sce(ld, ch_base)
+                if isinstance(out, tuple):      # PS produced stereo
+                    chans[ch_base] = out[0]
+                    chans[ch_base + 1] = out[1]
+                    ch_base += 2
+                else:
+                    chans[ch_base] = out
+                    ch_base += 1
+                self.fr_ch_ele += 1
             elif el == ID_CPE:
                 t1, t2 = self._decode_cpe(ld, ch_base)
                 chans[ch_base] = t1
                 chans[ch_base + 1] = t2
                 ch_base += 2
+                self.fr_ch_ele += 1
             elif el == ID_FIL:
                 self._fill_element(ld)
             elif el == ID_DSE:
@@ -1295,6 +1366,14 @@ class AacDecoder:
                 raise AacError(f"element {el} unsupported (LC)")
         ld.byte_align()
 
+        # upMatrix: a PS-capable build always outputs 2 channels for
+        # mono streams, duplicating the single channel (decoder.c:
+        # 1056-1063, output.c:110-121) — PS itself replaces the copy
+        # when present
+        if len(chans) == 1:
+            only = chans[sorted(chans)[0]]
+            chans = {0: only, 1: only}
+
         self.frame += 1
         if self.frame <= 1:
             # faad suppresses the first frame's output (filterbank
@@ -1303,7 +1382,10 @@ class AacDecoder:
         else:
             pcm = to_pcm_16bit([chans[c] for c in sorted(chans)])
         consumed = (ld.processed() + 7) // 8
-        return pcm, consumed, len(chans), SAMPLE_RATES[self.sf_index]
+        freq = SAMPLE_RATES[self.sf_index]
+        if self.sbr_present or self.force_up:
+            freq *= 2      # decoder.c:1143-1148
+        return pcm, consumed, len(chans), freq
 
 
 # --------------------------------------------------------------------------
