@@ -277,13 +277,16 @@ def _normalize_sig(sig):
 def _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                       agc_gain_db, zoom_idx, traced_upd=False):
     # cache key includes the floatops fast/exact mode: the traced program
-    # differs between the parity (guarded) and production (fast) forms
+    # differs between the parity (guarded) and production (fast) forms.
+    # All builder caches are bounded (LRU 32): a deployment mixing many
+    # rates/geometries evicts cold variants instead of accumulating
+    # compiled programs without bound; eviction only costs a re-trace.
     return _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode,
                                     freq, flags, agc_gain_db, zoom_idx,
                                     traced_upd, floatops.fast_mode())
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                              agc_gain_db, zoom_idx, traced_upd, fast):
     ns_on, aec_on, agc_on, vad_on = flags
@@ -340,7 +343,7 @@ def _build_chain_fn(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                                   floatops.fast_mode())
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _build_chain_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                            agc_gain_db, zoom_idx, fast):
     return jax.jit(_build_chain_body(aec_sig, sub_len, mult, nlp_mode,
@@ -355,7 +358,7 @@ def _build_chain_scan_fn(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                                        floatops.fast_mode())
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
                                 flags, agc_gain_db, zoom_idx, fast):
     """Chunked execution: lax.scan over K packages in ONE dispatch.
@@ -389,7 +392,7 @@ def _build_chain_cycle_scan_fn(cycle_sigs, sub_len, mult, nlp_mode, freq,
         zoom_idx, floatops.fast_mode())
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _build_chain_cycle_scan_fn_cached(cycle_sigs, sub_len, mult, nlp_mode,
                                       freq, flags, agc_gain_db, zoom_idx,
                                       fast):
