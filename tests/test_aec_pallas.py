@@ -59,6 +59,37 @@ def test_pallas_package_matches_jax_engine(fast_mode_env):
     assert out_e < near_e
 
 
+def test_chain_pallas_matches_jax(fast_mode_env, monkeypatch):
+    """Full RecordChain with WMIX_PALLAS=1 (interpret mode on CPU) vs
+    the jax body: startup identical, the first post-startup package
+    (irregular out-ring priming) routed to the jax path, steady
+    packages within int16 reassociation noise."""
+    import importlib
+    import numpy as np
+
+    def run(pallas):
+        monkeypatch.setenv("WMIX_PALLAS", "1" if pallas else "0")
+        from wmix_tpu.engine.chain import RecordChain
+        B, K = 2, 9
+        rng = np.random.RandomState(0)
+        mic = (rng.randn(2 * K, B, 320) * 3000).astype(np.int16)
+        play = (rng.randn(2 * K, B, 320) * 5000).astype(np.int16)
+        ch = RecordChain(B, 16000)
+        outs = []
+        for c in range(2):
+            o, _p8, _v = ch.run_chunk(mic[c * K:(c + 1) * K],
+                                      play[c * K:(c + 1) * K])
+            outs.append(np.asarray(o))
+        return np.concatenate(outs)
+
+    a = run(False)
+    b = run(True)
+    # startup + first steady package run the identical jax path
+    np.testing.assert_array_equal(a[:4], b[:4])
+    d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    assert int(d.max()) <= 4, int(d.max())
+
+
 def test_steady_signature_detector(fast_mode_env):
     from wmix_tpu.engine.aec_plan import AecPlanner
     from wmix_tpu.engine.aec_pallas import is_steady_16k

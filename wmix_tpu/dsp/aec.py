@@ -83,13 +83,31 @@ def _overdrive_curve() -> np.ndarray:
     return np.array([np.float32("%.4f" % v) for v in vals], np.float32)
 
 
-def _rand_u_array(seed: int, n: int):
-    """WebRtcSpl_RandUArray (randomization_functions.c:93-115)."""
-    out = np.zeros(n, np.int16)
+@functools.lru_cache(maxsize=8)
+def _lcg_jump_tables(n: int):
+    """Closed-form stepping of the WebRtcSpl LCG s' = 69069 s + 1 mod
+    2^31: s_i = A_i s_0 + C_i with A_i = 69069^i, C_i = sum_{j<i}
+    69069^j (both mod 2^31), so a whole array of draws vectorizes."""
+    a = np.zeros(n, np.uint64)
+    c = np.zeros(n, np.uint64)
+    ai, ci = 1, 0
     for i in range(n):
-        seed = (seed * 69069 + 1) & 0x7FFFFFFF
-        out[i] = np.int16((seed >> 16) & 0xFFFF)
-    return out, seed
+        ai = (ai * 69069) & 0x7FFFFFFF
+        ci = (ci * 69069 + 1) & 0x7FFFFFFF
+        a[i] = ai
+        c[i] = ci
+    return a, c
+
+
+def _rand_u_array(seed: int, n: int):
+    """WebRtcSpl_RandUArray (randomization_functions.c:93-115) — exact
+    LCG sequence, vectorized (the per-block host planner calls this 5x
+    per package; the naive Python loop dominated planning cost)."""
+    a, c = _lcg_jump_tables(n)
+    s = (a * np.uint64(seed) + c) & np.uint64(0x7FFFFFFF)
+    out = ((s >> np.uint64(16)) & np.uint64(0xFFFF)).astype(
+        np.uint16).astype(np.int16)
+    return out, int(s[-1])
 
 
 class AecDev(NamedTuple):

@@ -44,6 +44,7 @@ by allclose + behavioral (ERLE) tests.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -128,10 +129,6 @@ def _dft_mats():
     b = gim[:, :PART_LEN] * scale
     f64f_re = fre[:PART_LEN, :]        # forward of a 64-support signal
     f64f_im = fim[:PART_LEN, :]
-    p = a @ f64f_re
-    q = b @ f64f_re
-    r = a @ f64f_im
-    s = b @ f64f_im
     f = np.float32
     imask = np.ones(PART_LEN1, np.float32)
     imask[0] = 0.0
@@ -147,9 +144,12 @@ def _dft_mats():
         m64=f(np.concatenate([f64re, f64im], axis=1)),
         mgy=f(np.concatenate([gyre, gyim], axis=0)),   # [130, 64]
         mgo=f(np.concatenate([gore, goim], axis=1)),
-        # ordered [P|R] / [Q|S] so that g_re @ mp[:, :130] + g_im @
-        # mp[:, 130:] yields [d_re | d_im] in one matmul pair
-        mp=f(np.concatenate([p, r, q, s], axis=1)),
+        # adaptation round trip in two hops: spectrum -> 64-sample time
+        # (mab: [A | B], each [65, 64]) -> spectrum (mf64: [64, 130]);
+        # half the flops of the precomposed 65x65 quadruple and both
+        # hops are clean 2D MXU matmuls
+        mab=f(np.concatenate([a, b], axis=1)),
+        mf64=f(np.concatenate([f64f_re, f64f_im], axis=1)),
         # constant vectors as [1, n] rows (pallas kernels cannot
         # capture array constants; TPU prefers >= 2D anyway)
         imask=imask[None, :],
@@ -162,8 +162,8 @@ def _dft_mats():
     )
 
 
-CONST_FIELDS = ("m128", "m64", "mgy", "mgo", "mp", "imask",
-                "cn_re_mask", "cn_im_mask", "win_a", "win_b",
+CONST_FIELDS = ("m128", "m64", "mgy", "mgo", "mab", "mf64",
+                "imask", "cn_re_mask", "cn_im_mask", "win_a", "win_b",
                 "wcurve", "odcurve")
 
 
@@ -181,8 +181,9 @@ def _block_math(consts, st, near64, xf_re_new, xf_im_new,
     """One ProcessBlock + NonLinearProcessing (aec_core.c:1143-1351,
     911-1141), batch-first over a [TB] stream tile; returns the updated
     state dict and the [TB, 64] output block."""
-    m128, m64, mgy, mgo, mp = (consts["m128"], consts["m64"],
-                               consts["mgy"], consts["mgo"], consts["mp"])
+    m128, m64, mgy, mgo = (consts["m128"], consts["m64"],
+                           consts["mgy"], consts["mgo"])
+    mab, mf64 = consts["mab"], consts["mf64"]
     P1 = PART_LEN1
     g0, g1 = SMOOTHING[mult]
     gp0, gp1 = np.float32(0.9), np.float32(0.1)
@@ -252,7 +253,14 @@ def _block_math(consts, st, near64, xf_re_new, xf_im_new,
         xf_im * jnp.expand_dims(ef_im, 1)
     g_im = xf_re * jnp.expand_dims(ef_im, 1) - \
         xf_im * jnp.expand_dims(ef_re, 1)
-    d4 = _mm(g_re, mp[:, :2 * P1]) + _mm(g_im, mp[:, 2 * P1:])
+    # flatten [TB, 12, 65] -> [TB*12, 65]: keeps both hops as plain 2D
+    # matmuls (a 3D lhs has been seen lowering off the MXU)
+    tb = g_re.shape[0]
+    g2r = g_re.reshape(tb * NUM_PARTITIONS, P1)
+    g2i = g_im.reshape(tb * NUM_PARTITIONS, P1)
+    h64 = _mm(g2r, mab[:, :PART_LEN]) + _mm(g2i, mab[:, PART_LEN:])
+    d2 = _mm(h64, mf64)
+    d4 = d2.reshape(tb, NUM_PARTITIONS, 2 * P1)
     wf_re = wf_re + d4[:, :, :P1]
     wf_im = wf_im + d4[:, :, P1:] * consts["imask"].reshape(1, 1, -1)
 
@@ -506,7 +514,8 @@ PKG_LEN = BLOCKS_PER_PKG * PART_LEN
 
 
 def build_package_fn(mult: int = 2, nlp_mode: int = 1,
-                     tile: int = 128, interpret: bool = False):
+                     tile: int = 128, interpret: bool = False,
+                     jit: bool = True):
     """Returns fn(state_dict, near320[B], xf5r/xf5i/xfw5r/xfw5i
     [B,5,65], rand[5,64] i32, flags[5,3] i32) -> (state_dict,
     out320[B]).
@@ -540,11 +549,12 @@ def build_package_fn(mult: int = 2, nlp_mode: int = 1,
 
     def fn(state, near320, xf5r, xf5i, xfw5r, xfw5i, rand, flags):
         batch = near320.shape[0]
-        assert batch % tile == 0, (batch, tile)
-        grid = (batch // tile,)
+        tsize = next(t for t in (tile, 128, 64, 32, 16, 8, 4, 2, 1)
+                     if t <= tile and batch % t == 0)
+        grid = (batch // tsize,)
 
         def bspec(arr):
-            blk = (tile,) + arr.shape[1:]
+            blk = (tsize,) + arr.shape[1:]
             nz = len(arr.shape) - 1
             return pl.BlockSpec(
                 blk, lambda i, _n=nz: (i,) + (0,) * _n,
@@ -573,6 +583,13 @@ def build_package_fn(mult: int = 2, nlp_mode: int = 1,
         # alias the state inputs onto the state outputs (in-place)
         base = 7 + len(CONST_FIELDS)
         aliases = {base + i: i for i in range(len(STATE_FIELDS))}
+        params = {}
+        if not interpret:
+            from jax.experimental.pallas import tpu as _pltpu
+            # per-tile working set exceeds the 16 MB scoped-vmem
+            # default at tile >= 128; v5e has 128 MB VMEM
+            params["compiler_params"] = _pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -581,15 +598,18 @@ def build_package_fn(mult: int = 2, nlp_mode: int = 1,
             out_shape=out_shapes,
             input_output_aliases=aliases,
             interpret=interpret,
+            **params,
         )(flags, rand, near320, xf5r, xf5i, xfw5r, xfw5i,
           *const_vals, *state_vals)
         new_state = dict(zip(STATE_FIELDS, outs[:len(STATE_FIELDS)]))
         return new_state, outs[-1]
 
-    # jit with state donation: without it XLA copies every aliased
-    # operand (and has been seen promoting the copies into VMEM, which
-    # OOMs at batch >= 1024)
-    return jax.jit(fn, donate_argnums=(0,))
+    if jit:
+        # jit with state donation: without it XLA copies every aliased
+        # operand (and has been seen promoting the copies into VMEM,
+        # which OOMs at batch >= 1024)
+        return jax.jit(fn, donate_argnums=(0,))
+    return fn
 
 
 def package_body_ref(state, near320, xf5r, xf5i, xfw5r, xfw5i,
@@ -614,6 +634,29 @@ def is_steady_16k(signature) -> bool:
     return (not s0 and not s1 and len(f0) == 2 and len(f1) == 2 and
             [len(fr) for fr in f0] == [1, 1] and
             [len(fr) for fr in f1] == [1, 2])
+
+
+STEADY_FRAME_NEAR_REL = (0, 80, 16, 96)
+STEADY_FRAME_OUT_REL = (96, 32, 112, 48)
+STEADY_BLK_REL = (0, 64, 128, 48, 112)
+
+
+def is_steady_dyn(dyn) -> bool:
+    """True when a package's ring offsets follow the steady 16 kHz
+    pattern the kernel bakes in.  The FIRST post-startup package is
+    irregular (the C out ring's initial 64-zero priming shifts its frame
+    reads, aec_core.c:1589) and must run the jax path."""
+    import numpy as _np
+    fn_ = _np.asarray(dyn["frame_near"])
+    if fn_.shape[0] != 4:
+        return False
+    base = int(fn_[0])
+    n = 144
+    rel = lambda v: tuple(int(x) for x in ((_np.asarray(v) - base) % n))
+    return (rel(dyn["frame_near"]) == STEADY_FRAME_NEAR_REL and
+            rel(dyn["frame_out"]) == STEADY_FRAME_OUT_REL and
+            rel(dyn["blk_near"]) == STEADY_BLK_REL and
+            rel(dyn["blk_out"]) == STEADY_BLK_REL)
 
 
 def convert_eng_state(eng, dyn):
@@ -767,3 +810,75 @@ def _np_dyn(dyn):
 @functools.lru_cache(maxsize=8)
 def _far_fn_cached(signature, sub_len):
     return jax.jit(build_far_body(signature, sub_len))
+
+
+class PallasAecState(NamedTuple):
+    """ChainState.aec for the pallas path: the far-end machinery keeps
+    the exact jax layout (ring + partition store); the block state lives
+    in the kernel layout."""
+    far_pre: jax.Array       # [B, FAR_PRE_BUF_SIZE]
+    far_parts: jax.Array     # [B, part_cap, 130]
+    farw_parts: jax.Array    # [B, part_cap, 130]
+    p: dict                  # kernel-layout block state
+
+
+def convert_chain_aec(eng, dyn) -> "PallasAecState":
+    """AecEngState -> PallasAecState at a steady package boundary."""
+    return PallasAecState(eng.far_pre, eng.far_parts, eng.farw_parts,
+                          convert_eng_state(eng, dyn))
+
+
+def init_chain_aec(batch: int, part_cap: int) -> "PallasAecState":
+    z = lambda *sh: jnp.zeros(sh, F32)
+    from wmix_tpu.engine.aec_plan import FAR_PRE_BUF_SIZE
+    return PallasAecState(
+        z(batch, FAR_PRE_BUF_SIZE),
+        z(batch, part_cap, 2 * PART_LEN1),
+        z(batch, part_cap, 2 * PART_LEN1),
+        init_pallas_state(batch))
+
+
+def build_chain_aec_body(signature, sub_len: int, mult: int,
+                         nlp_mode: int, tile: int = 256,
+                         interpret: bool = False):
+    """aec_body drop-in for chain._build_chain_body: fn(PallasAecState,
+    far_pkg, near_pkg, dyn) -> (PallasAecState, out) — far machinery in
+    jax, the 5-block package in one pallas launch."""
+    far_fn = build_far_body(signature, sub_len)
+    pkg_fn = build_package_fn(mult, nlp_mode, tile=tile,
+                              interpret=interpret, jit=False)
+
+    def fn(ast: PallasAecState, far_pkg, near_pkg, dyn):
+        far_pre, fp, fwp = far_fn(ast.far_pre, ast.far_parts,
+                                  ast.farw_parts, far_pkg, dyn)
+        slots = dyn["blk_far"]
+        xf5 = jnp.take(fp, slots, axis=1)
+        xfw5 = jnp.take(fwp, slots, axis=1)
+        rand65 = jnp.concatenate(
+            [jnp.zeros((BLOCKS_PER_PKG, 1), I32),
+             dyn["blk_rand"].astype(I32)], axis=1)
+        pst, out = pkg_fn(ast.p, near_pkg,
+                          xf5[:, :, :PART_LEN1], xf5[:, :, PART_LEN1:],
+                          xfw5[:, :, :PART_LEN1], xfw5[:, :, PART_LEN1:],
+                          rand65, dyn["blk_flags"].astype(I32))
+        return PallasAecState(far_pre, fp, fwp, pst), out
+
+    return fn
+
+
+def pallas_enabled(freq: int) -> bool:
+    """Production default: the pallas AEC serves 16 kHz fast-mode TPU
+    deployments.  WMIX_PALLAS=0 forces the jax path; WMIX_PALLAS=1
+    forces pallas (interpret mode off-TPU, for tests)."""
+    import os
+    v = os.environ.get("WMIX_PALLAS", "")
+    if v == "0":
+        return False
+    if freq != 16000:
+        return False
+    from wmix_tpu.dsp import floatops
+    if not floatops.fast_mode():
+        return False
+    if v not in ("", "0"):
+        return True
+    return jax.default_backend() == "tpu"

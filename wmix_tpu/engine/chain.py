@@ -110,11 +110,16 @@ class RecordChain:
         reset slot joins at the CURRENT cursor phase with fresh adaptive
         state (see service/stream_server.py for the semantics)."""
         idx = jnp.asarray(np.asarray(slots, np.int32))
+        from wmix_tpu.engine import aec_pallas
+        aec_init = (aec_pallas.init_chain_aec(1, self.part_cap)
+                    if isinstance(self.state.aec,
+                                  aec_pallas.PallasAecState)
+                    else aec_step.init_eng_state(1, self.part_cap))
         init1 = ChainState(
             ns=jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (1,) + x.shape),
                 ns_mod.init_state(self.freq)),
-            aec=aec_step.init_eng_state(1, self.part_cap),
+            aec=aec_init,
             agc=jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (1,) + x.shape),
                 agc_mod.init_state()),
@@ -129,13 +134,37 @@ class RecordChain:
                                  + i.shape[1:])),
             self.state, init1)
 
-    def _build_fn(self, aec_sig):
+    def _build_fn(self, aec_sig, use_pallas=False):
         return _build_chain_fn(aec_sig, self.sub_len,
                                self.planner.mult if self.planner else 1,
                                self.planner.nlp_mode if self.planner else 2,
                                self.freq, self.flags, self.agc_gain_db,
                                None if self.zoom_idx is None
-                               else tuple(self.zoom_idx.tolist()))
+                               else tuple(self.zoom_idx.tolist()),
+                               use_pallas=use_pallas)
+
+    def _pallas_on(self) -> bool:
+        """Pallas AEC package kernel: production default on TPU fast
+        mode at 16 kHz (WMIX_PALLAS=0/1 overrides); engages on steady
+        plans only — startup runs the exact-layout jax path and the
+        state converts once."""
+        if not self.flags[1]:
+            return False
+        from wmix_tpu.engine import aec_pallas
+        return aec_pallas.pallas_enabled(self.freq)
+
+    def _ensure_aec_layout(self, want_pallas: bool, dyn0) -> None:
+        from wmix_tpu.engine import aec_pallas
+        aec = self.state.aec
+        if want_pallas and isinstance(aec, aec_step.AecEngState):
+            self.state = self.state._replace(
+                aec=aec_pallas.convert_chain_aec(aec, dyn0))
+        elif not want_pallas and \
+                isinstance(aec, aec_pallas.PallasAecState):
+            raise RuntimeError(
+                "pallas AEC state cannot serve a non-steady plan; "
+                "16 kHz plans stay steady after startup so this "
+                "indicates planner state corruption")
 
     def step(self, mic_pkg: np.ndarray, play_pkg: np.ndarray):
         """One 20 ms tick.
@@ -145,7 +174,13 @@ class RecordChain:
         Returns (origin_pkg int16 [B, pkg_len], pkg_8k int16 [B, n8k],
         vad_flags int32 [B])."""
         add_slot, get_slot, sig, dyn = self._plan_tick()
-        fn = self._build_fn(sig)
+        up = False
+        if self._pallas_on():
+            from wmix_tpu.engine.aec_pallas import (is_steady_16k,
+                                                    is_steady_dyn)
+            up = is_steady_16k(sig) and is_steady_dyn(dyn)
+            self._ensure_aec_layout(up, dyn)
+        fn = self._build_fn(sig, use_pallas=up)
         self.state, origin, pkg8k, vflags = fn(
             self.state, jnp.asarray(mic_pkg, jnp.int16),
             jnp.asarray(play_pkg, jnp.int16),
@@ -211,9 +246,19 @@ class RecordChain:
                   None if self.zoom_idx is None
                   else tuple(self.zoom_idx.tolist()))
 
+        pallas_on = self._pallas_on()
+        if pallas_on:
+            from wmix_tpu.engine.aec_pallas import (is_steady_16k,
+                                                    is_steady_dyn)
         if period is not None:
             P = period
-            fn = _build_chain_cycle_scan_fn(tuple(nsigs[:P]), *common)
+            up = pallas_on and \
+                all(is_steady_16k(ns_) for ns_ in nsigs[:P]) and \
+                all(is_steady_dyn(p_[3]) for p_ in plans)
+            if pallas_on:
+                self._ensure_aec_layout(up, plans[0][3])
+            fn = _build_chain_cycle_scan_fn(tuple(nsigs[:P]), *common,
+                                            use_pallas=up)
             n_units = K // P
             dyns = tuple(
                 {k: jnp.asarray(np.stack(
@@ -237,19 +282,25 @@ class RecordChain:
                     p8.reshape(K, *p8.shape[2:]),
                     vf.reshape(K, *vf.shape[2:]))
 
-        # fallback: group consecutive equal normalized signatures
+        # fallback: group consecutive equal normalized signatures;
+        # under pallas, the first post-startup package (irregular out
+        # ring priming) must not share a run with steady packages
         runs = []
         for i, s in enumerate(nsigs):
-            if runs and runs[-1][0] == s:
+            key = (s, pallas_on and is_steady_dyn(plans[i][3]))
+            if runs and runs[-1][0] == key:
                 runs[-1][1].append(i)
             else:
-                runs.append((s, [i]))
+                runs.append((key, [i]))
         origins, pkg8ks, vflagss = [], [], []
-        for sig, idxs in runs:
+        for (sig, dyn_ok), idxs in runs:
             dyns = [plans[i][3] for i in idxs]
             dyn_stack = {k: np.stack([d[k] for d in dyns])
                          for k in dyns[0]}
-            fn = _build_chain_scan_fn(sig, *common)
+            up = pallas_on and dyn_ok and is_steady_16k(sig)
+            if pallas_on:
+                self._ensure_aec_layout(up, dyns[0])
+            fn = _build_chain_scan_fn(sig, *common, use_pallas=up)
             self.state, (o, p8, vf) = fn(
                 self.state, jnp.asarray(mic_chunk[idxs], jnp.int16),
                 jnp.asarray(play_chunk[idxs], jnp.int16),
@@ -275,7 +326,8 @@ def _normalize_sig(sig):
 
 
 def _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq, flags,
-                      agc_gain_db, zoom_idx, traced_upd=False):
+                      agc_gain_db, zoom_idx, traced_upd=False,
+                      use_pallas=False):
     # cache key includes the floatops fast/exact mode: the traced program
     # differs between the parity (guarded) and production (fast) forms.
     # All builder caches are bounded (LRU 32): a deployment mixing many
@@ -283,16 +335,26 @@ def _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq, flags,
     # compiled programs without bound; eviction only costs a re-trace.
     return _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode,
                                     freq, flags, agc_gain_db, zoom_idx,
-                                    traced_upd, floatops.fast_mode())
+                                    traced_upd, floatops.fast_mode(),
+                                    use_pallas)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
-                             agc_gain_db, zoom_idx, traced_upd, fast):
+                             agc_gain_db, zoom_idx, traced_upd, fast,
+                             use_pallas=False):
     ns_on, aec_on, agc_on, vad_on = flags
-    aec_body = aec_step.build_pkg_body(aec_sig, sub_len, mult, nlp_mode,
-                                       traced_upd=traced_upd) \
-        if aec_on else None
+    if aec_on and use_pallas:
+        from wmix_tpu.engine import aec_pallas
+        aec_body = aec_pallas.build_chain_aec_body(
+            aec_sig, sub_len, mult, nlp_mode,
+            interpret=jax.default_backend() != "tpu")
+    elif aec_on:
+        aec_body = aec_step.build_pkg_body(aec_sig, sub_len, mult,
+                                           nlp_mode,
+                                           traced_upd=traced_upd)
+    else:
+        aec_body = None
     zoom = None if zoom_idx is None else jnp.asarray(zoom_idx, jnp.int32)
 
     v_ns = jax.vmap(lambda st, pkg: ns_mod.process_pkg(st, pkg, 1, freq))
@@ -337,30 +399,33 @@ def _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
 
 
 def _build_chain_fn(aec_sig, sub_len, mult, nlp_mode, freq, flags,
-                    agc_gain_db, zoom_idx):
+                    agc_gain_db, zoom_idx, use_pallas=False):
     return _build_chain_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
                                   flags, agc_gain_db, zoom_idx,
-                                  floatops.fast_mode())
+                                  floatops.fast_mode(), use_pallas)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_chain_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
-                           agc_gain_db, zoom_idx, fast):
+                           agc_gain_db, zoom_idx, fast,
+                           use_pallas=False):
     return jax.jit(_build_chain_body(aec_sig, sub_len, mult, nlp_mode,
-                                     freq, flags, agc_gain_db, zoom_idx),
+                                     freq, flags, agc_gain_db, zoom_idx,
+                                     use_pallas=use_pallas),
                    donate_argnums=(0,))
 
 
 def _build_chain_scan_fn(aec_sig, sub_len, mult, nlp_mode, freq, flags,
-                         agc_gain_db, zoom_idx):
+                         agc_gain_db, zoom_idx, use_pallas=False):
     return _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode,
                                        freq, flags, agc_gain_db, zoom_idx,
-                                       floatops.fast_mode())
+                                       floatops.fast_mode(), use_pallas)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
-                                flags, agc_gain_db, zoom_idx, fast):
+                                flags, agc_gain_db, zoom_idx, fast,
+                                use_pallas=False):
     """Chunked execution: lax.scan over K packages in ONE dispatch.
 
     Steady state has a fixed plan signature, so a whole chunk of packages
@@ -370,7 +435,7 @@ def _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
     K * 20 ms of audio per device call (SURVEY.md §7 step 7)."""
     inner = _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq,
                               flags, agc_gain_db, zoom_idx,
-                              traced_upd=True)
+                              traced_upd=True, use_pallas=use_pallas)
 
     def fn(state, mic_chunk, play_chunk, add_slots, get_slots, dyn_stack):
         def body(st, xs):
@@ -386,16 +451,17 @@ def _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
 
 
 def _build_chain_cycle_scan_fn(cycle_sigs, sub_len, mult, nlp_mode, freq,
-                               flags, agc_gain_db, zoom_idx):
+                               flags, agc_gain_db, zoom_idx,
+                               use_pallas=False):
     return _build_chain_cycle_scan_fn_cached(
         cycle_sigs, sub_len, mult, nlp_mode, freq, flags, agc_gain_db,
-        zoom_idx, floatops.fast_mode())
+        zoom_idx, floatops.fast_mode(), use_pallas)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_chain_cycle_scan_fn_cached(cycle_sigs, sub_len, mult, nlp_mode,
                                       freq, flags, agc_gain_db, zoom_idx,
-                                      fast):
+                                      fast, use_pallas=False):
     """ONE lax.scan over super-units of P packages, where P is the period
     of the (normalized) plan-signature sequence: P=1 at 16 kHz, P=2 at
     8 kHz (the two structurally different package plans alternate,
@@ -404,7 +470,8 @@ def _build_chain_cycle_scan_fn_cached(cycle_sigs, sub_len, mult, nlp_mode,
     #4/#5."""
     inners = [
         _build_chain_body(sig, sub_len, mult, nlp_mode, freq, flags,
-                          agc_gain_db, zoom_idx, traced_upd=True)
+                          agc_gain_db, zoom_idx, traced_upd=True,
+                          use_pallas=use_pallas)
         for sig in cycle_sigs]
 
     def fn(state, mic_units, play_units, add_units, get_units, dyn_tuple):
