@@ -67,8 +67,13 @@ def _worker(batch: int, k_pkgs: int, n_chunks: int) -> None:
     mic_c = jax.device_put(mic_c)
     play_c = jax.device_put(play_c)
 
-    # compile + first run (not timed)
-    o, p8, v = chain.run_chunk(mic_c, play_c)
+    # compile + first runs (not timed).  TWO warm chunks: the first
+    # covers the startup/fallback program, the second the steady-state
+    # cycle program (which contains the pallas kernel and costs minutes
+    # to compile cold — timing it once turned a 9k-stream run into a
+    # recorded 27)
+    for _ in range(2):
+        o, p8, v = chain.run_chunk(mic_c, play_c)
     jax.block_until_ready(o)
 
     t0 = time.perf_counter()

@@ -513,6 +513,32 @@ def _package_body(consts, st, near320, xf5r, xf5i, xfw5r, xfw5i,
 PKG_LEN = BLOCKS_PER_PKG * PART_LEN
 
 
+_cache_configured = False
+
+
+def _ensure_compile_cache():
+    """Persist compiled executables (the package kernel costs minutes
+    cold); opt out with WMIX_COMPILE_CACHE=0."""
+    global _cache_configured
+    if _cache_configured:
+        return
+    _cache_configured = True
+    import os
+    if os.environ.get("WMIX_COMPILE_CACHE", "") == "0":
+        return
+    if jax.config.jax_compilation_cache_dir:
+        return
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(repo, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          5)
+    except Exception:
+        pass
+
+
 def build_package_fn(mult: int = 2, nlp_mode: int = 1,
                      tile: int = 128, interpret: bool = False,
                      jit: bool = True):
@@ -525,6 +551,8 @@ def build_package_fn(mult: int = 2, nlp_mode: int = 1,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if not interpret:
+        _ensure_compile_cache()
     mats = _dft_mats()
     consts = {k: jnp.asarray(v) for k, v in mats.items()}
 

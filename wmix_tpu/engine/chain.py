@@ -300,13 +300,31 @@ class RecordChain:
             up = pallas_on and dyn_ok and is_steady_16k(sig)
             if pallas_on:
                 self._ensure_aec_layout(up, dyns[0])
-            fn = _build_chain_scan_fn(sig, *common, use_pallas=up)
-            self.state, (o, p8, vf) = fn(
-                self.state, jnp.asarray(mic_chunk[idxs], jnp.int16),
-                jnp.asarray(play_chunk[idxs], jnp.int16),
-                jnp.asarray([plans[i][0] for i in idxs], jnp.int32),
-                jnp.asarray([plans[i][1] for i in idxs], jnp.int32),
-                dyn_stack)
+            n = len(idxs)
+            mic_r = jnp.asarray(mic_chunk[idxs], jnp.int16)
+            play_r = jnp.asarray(play_chunk[idxs], jnp.int16)
+            adds_r = jnp.asarray([plans[i][0] for i in idxs], jnp.int32)
+            gets_r = jnp.asarray([plans[i][1] for i in idxs], jnp.int32)
+            if up:
+                # route steady pallas runs through the SAME cycle-scan
+                # program as the period path: each enclosing XLA program
+                # containing the pallas kernel costs minutes to compile,
+                # so keep it to one
+                fn = _build_chain_cycle_scan_fn(
+                    (_normalize_sig(sig),), *common, use_pallas=True)
+                self.state, (o, p8, vf) = fn(
+                    self.state,
+                    mic_r.reshape(n, 1, *mic_r.shape[1:]),
+                    play_r.reshape(n, 1, *play_r.shape[1:]),
+                    adds_r.reshape(n, 1), gets_r.reshape(n, 1),
+                    ({k: jnp.asarray(v) for k, v in dyn_stack.items()},))
+                o = o.reshape(n, *o.shape[2:])
+                p8 = p8.reshape(n, *p8.shape[2:])
+                vf = vf.reshape(n, *vf.shape[2:])
+            else:
+                fn = _build_chain_scan_fn(sig, *common, use_pallas=up)
+                self.state, (o, p8, vf) = fn(
+                    self.state, mic_r, play_r, adds_r, gets_r, dyn_stack)
             origins.append(o)
             pkg8ks.append(p8)
             vflagss.append(vf)
