@@ -70,5 +70,55 @@ def test_restore_rejects_geometry_mismatch():
     a = RecordChain(2, 16000)
     blob = checkpoint.snapshot(a)
     b = RecordChain(4, 16000)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         checkpoint.restore(b, blob)
+
+
+def test_restore_rejects_unknown_planner_field():
+    import io, json
+    a = RecordChain(2, 16000)
+    blob = checkpoint.snapshot(a)
+    with np.load(io.BytesIO(blob)) as z:
+        arrays = {k: z[k] for k in z.files}
+    header = json.loads(bytes(arrays["header"].tobytes()).decode())
+    header["planner"]["evil_field"] = 1
+    arrays["header"] = np.frombuffer(json.dumps(header).encode(), np.uint8)
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    b = RecordChain(2, 16000)
+    with pytest.raises(ValueError):
+        checkpoint.restore(b, buf.getvalue())
+
+
+def test_snapshot_restore_pallas_layout(tmp_path):
+    """A snapshot taken after the chain converts to the pallas AEC
+    layout (production TPU steady state) restores into a fresh chain
+    bit-identically (ADVICE r2 medium; VERDICT r2 weak #6).  Runs the
+    pallas kernel in interpret mode on CPU."""
+    os.environ["WMIX_PALLAS"] = "1"
+    try:
+        batch, freq = 2, 16000
+        pkg = freq // 1000 * 20
+        mics, plays = _chunks(batch, pkg, 4, seed=13)
+
+        ref = _mk_chain(batch, freq)
+        ref_out = [np.asarray(ref.run_chunk(m, p)[0])
+                   for m, p in zip(mics, plays)]
+
+        a = _mk_chain(batch, freq)
+        for m, p in zip(mics[:2], plays[:2]):
+            a.run_chunk(m, p)
+        from wmix_tpu.engine.aec_pallas import PallasAecState
+        assert isinstance(a.state.aec, PallasAecState), \
+            "chain did not convert to the pallas layout"
+        path = str(tmp_path / "snap_pallas.npz")
+        checkpoint.save(a, path)
+
+        b = _mk_chain(batch, freq)
+        checkpoint.load(b, path)
+        assert isinstance(b.state.aec, PallasAecState)
+        for i in range(2, 4):
+            origin, _, _ = b.run_chunk(mics[i], plays[i])
+            np.testing.assert_array_equal(np.asarray(origin), ref_out[i])
+    finally:
+        del os.environ["WMIX_PALLAS"]

@@ -180,7 +180,12 @@ class RecordChain:
                                                     is_steady_dyn)
             up = is_steady_16k(sig) and is_steady_dyn(dyn)
             self._ensure_aec_layout(up, dyn)
-        fn = self._build_fn(sig, use_pallas=up)
+        # the pallas body reads update_delay_idx from dyn, so normalize
+        # the signature to share ONE compiled pallas program across the
+        # 2 steady 16 kHz signatures differing only in that bit
+        # (ADVICE r2: the program costs minutes to compile)
+        fn = self._build_fn(_normalize_sig(sig) if up else sig,
+                            use_pallas=up)
         self.state, origin, pkg8k, vflags = fn(
             self.state, jnp.asarray(mic_pkg, jnp.int16),
             jnp.asarray(play_pkg, jnp.int16),

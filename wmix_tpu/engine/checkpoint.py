@@ -41,13 +41,32 @@ def _planner_state(p: AecPlanner) -> dict:
 
 
 def _restore_planner(p: AecPlanner, snap: dict) -> None:
+    # whitelist: only fields the live planner already has, with matching
+    # kinds — a snapshot header is untrusted input (ADVICE r2)
+    live = vars(p)
     for k, v in snap.items():
+        if k not in live:
+            raise ValueError(f"unknown planner field {k!r} in snapshot")
         if isinstance(v, dict) and v.get("__ring__"):
-            ring = getattr(p, k)
-            assert ring.count == v["count"], f"ring {k} geometry mismatch"
-            ring.r, ring.w = v["r"], v["w"]
+            ring = live[k]
+            if not isinstance(ring, _AbsRing):
+                raise ValueError(f"planner field {k!r} is not a ring")
+            if ring.count != v["count"]:
+                raise ValueError(f"ring {k!r} geometry mismatch: "
+                                 f"{ring.count} != {v['count']}")
+            ring.r, ring.w = int(v["r"]), int(v["w"])
+        elif isinstance(v, (bool, int, float)) and \
+                isinstance(live[k], (bool, int, float)):
+            setattr(p, k, type(live[k])(v))
         else:
-            setattr(p, k, v)
+            raise ValueError(f"planner field {k!r} has unexpected type")
+
+
+def _aec_layout(chain) -> str:
+    from wmix_tpu.engine import aec_pallas
+    return ("pallas" if isinstance(chain.state.aec,
+                                   aec_pallas.PallasAecState)
+            else "jax")
 
 
 def snapshot(chain) -> bytes:
@@ -64,6 +83,11 @@ def snapshot(chain) -> bytes:
         "planner": _planner_state(chain.planner) if chain.planner
         else None,
         "n_leaves": len(leaves),
+        # the AEC state layout (exact-jax vs pallas-kernel) changes the
+        # pytree structure; record it so a production (pallas) snapshot
+        # restores into a fresh chain whose default layout is jax
+        # (ADVICE r2 medium)
+        "aec_layout": _aec_layout(chain),
     }
     buf = io.BytesIO()
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
@@ -80,14 +104,33 @@ def restore(chain, data: bytes) -> None:
         header = json.loads(bytes(z["header"].tobytes()).decode())
         leaves = [z[f"leaf_{i}"] for i in range(header["n_leaves"])]
 
-    assert header["batch"] == chain.batch, "batch mismatch"
-    assert header["freq"] == chain.freq, "freq mismatch"
-    assert tuple(header["flags"]) == tuple(chain.flags), "flags mismatch"
-    assert header["part_cap"] == chain.part_cap, "part_cap mismatch"
+    for key in ("batch", "freq", "part_cap"):
+        if header[key] != getattr(chain, key):
+            raise ValueError(f"{key} mismatch: snapshot "
+                             f"{header[key]} != chain {getattr(chain, key)}")
+    if tuple(header["flags"]) != tuple(chain.flags):
+        raise ValueError("flags mismatch")
+
+    # rebuild the chain's AEC state tree in the snapshot's layout before
+    # unflattening: a fresh chain holds the jax layout, but a snapshot
+    # taken in production TPU steady state holds the pallas layout
+    want = header.get("aec_layout", "jax")
+    if want != _aec_layout(chain):
+        from wmix_tpu.engine import aec_pallas, aec_step
+        aec = (aec_pallas.init_chain_aec(chain.batch, chain.part_cap)
+               if want == "pallas"
+               else aec_step.init_eng_state(chain.batch, chain.part_cap))
+        chain.state = chain.state._replace(aec=aec)
 
     treedef = jax.tree_util.tree_structure(chain.state)
     old_leaves = jax.tree_util.tree_leaves(chain.state)
-    assert len(old_leaves) == len(leaves)
+    if len(old_leaves) != len(leaves):
+        raise ValueError(f"leaf count mismatch: snapshot {len(leaves)} "
+                         f"!= chain {len(old_leaves)}")
+    for x, old in zip(leaves, old_leaves):
+        if tuple(x.shape) != tuple(old.shape):
+            raise ValueError(f"leaf shape mismatch: snapshot "
+                             f"{x.shape} != chain {old.shape}")
     new_leaves = [
         jax.numpy.asarray(x, old.dtype)
         for x, old in zip(leaves, old_leaves)]
@@ -95,7 +138,9 @@ def restore(chain, data: bytes) -> None:
     chain.play_count = header["play_count"]
     chain.tick = header["tick"]
     if header["planner"] is not None:
-        assert chain.planner is not None, "planner presence mismatch"
+        if chain.planner is None:
+            raise ValueError("snapshot has planner state but the chain "
+                             "has no planner")
         _restore_planner(chain.planner, header["planner"])
 
 

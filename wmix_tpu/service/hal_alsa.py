@@ -130,7 +130,9 @@ class _Pcm:
             elif ret == -ESTRPIPE:
                 pass
             elif ret < 0:
-                return -1
+                # fatal: ai_read unpacks a 2-tuple, so the read path
+                # must not return a bare int (ADVICE r2)
+                return (-1, b"") if not write else -1
             if frame_num < ret:
                 break
             if ret > 0:
