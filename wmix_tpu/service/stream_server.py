@@ -57,6 +57,11 @@ class StreamServer:
         self._gen = [0] * capacity           # per-slot generation counter
         self._active = [False] * capacity
         self._lock = threading.Lock()
+        # slots admitted since the last tick; their DSP state resets are
+        # applied by the PUMP thread at the next tick — the jitted step
+        # donates the state pytree, so concurrent reset_slots from a
+        # reader thread would touch deleted buffers
+        self._pending_reset: list = []
         # per-slot staging for the next tick and output queues
         self._mic_in: Dict[int, list] = {}
         self._play_in: Dict[int, list] = {}
@@ -76,7 +81,7 @@ class StreamServer:
             self._mic_in[slot] = []
             self._play_in[slot] = []
             self._out[slot] = []
-        self.chain.reset_slots([slot])
+            self._pending_reset.append(slot)
         return slot | (self._gen[slot] << 16)
 
     def close_stream(self, handle: int) -> None:
@@ -152,11 +157,19 @@ class StreamServer:
                     self._out[slot].append(
                         (origin[k, slot], pkg8k[k, slot], vad[k, slot]))
 
+    def _apply_pending_resets(self) -> None:
+        with self._lock:
+            slots, self._pending_reset = self._pending_reset, []
+        if slots:
+            self.chain.reset_slots(slots)
+
     def tick(self) -> None:
         """One 20 ms batch step over all slots (realtime mode).  Slots
         with no queued input process silence (their state still advances
         in lockstep, as the daemon's record heartbeat does when the mic
-        delivers nothing, src/wmix.c:608-611)."""
+        delivers nothing, src/wmix.c:608-611).  Must be called from ONE
+        pump thread — the chain state is owned by the caller."""
+        self._apply_pending_resets()
         mic, play, fed = self._gather(1)
         origin, pkg8k, vad = self.chain.step(mic[0], play[0])
         self._scatter(fed, np.asarray(origin)[None],
@@ -165,6 +178,7 @@ class StreamServer:
     def tick_chunk(self, k_pkgs: int) -> None:
         """K packages in one dispatch (throughput mode, +K*20 ms
         latency)."""
+        self._apply_pending_resets()
         mic, play, fed = self._gather(k_pkgs)
         origin, pkg8k, vad = self.chain.run_chunk(mic, play)
         self._scatter(fed, origin, pkg8k, vad)
