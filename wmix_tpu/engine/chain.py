@@ -61,12 +61,14 @@ class RecordChain:
                  ns_enable: bool = True, aec_enable: bool = True,
                  agc_enable: bool = True, vad_enable: bool = True,
                  agc_gain_db: int = 5,
-                 part_cap: int = aec_step.DEFAULT_PART_CAP):
+                 part_cap: int = aec_step.DEFAULT_PART_CAP,
+                 aec_backend: str = "aec"):
         # the daemon's module rate guards (src/wmix.c:615-699): AEC only
         # to 16 kHz; NS/AGC/VAD to 32 kHz
         if freq > 16000:
             aec_enable = False
         assert freq % 8000 == 0 and freq <= 32000
+        assert aec_backend in ("aec", "aecm")
         self.batch = batch
         self.freq = freq
         self.interval_ms = interval_ms
@@ -74,17 +76,29 @@ class RecordChain:
         self.flags = (ns_enable, aec_enable, agc_enable, vad_enable)
         self.agc_gain_db = agc_gain_db
         self.part_cap = part_cap
+        self.aec_backend = aec_backend if aec_enable else "aec"
 
-        self.planner = AecPlanner(freq) if aec_enable else None
+        if not aec_enable:
+            self.planner = None
+        elif self.aec_backend == "aecm":
+            from wmix_tpu.engine.aecm_step import AecmPlanner
+            self.planner = AecmPlanner(freq)
+        else:
+            self.planner = AecPlanner(freq)
         self.sub_len = freq // 1000 * (20 if freq <= 8000 else 10)
         self.play_count = 0   # _playPkgBuff_count mirror
         self.tick = 0
 
+        if self.aec_backend == "aecm" and aec_enable:
+            from wmix_tpu.engine import aecm_step
+            aec_init = aecm_step.init_eng_state(batch, freq)
+        else:
+            aec_init = aec_step.init_eng_state(batch, part_cap)
         bcast = lambda st: jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (batch,) + x.shape), st)
         self.state = ChainState(
             ns=bcast(ns_mod.init_state(freq)),
-            aec=aec_step.init_eng_state(batch, part_cap),
+            aec=aec_init,
             agc=bcast(agc_mod.init_state()),
             vad=bcast(vad_mod.init_state()),
             play_fifo=jnp.zeros((batch, AEC_FIFO_PKG_NUM, self.pkg_len),
@@ -111,10 +125,13 @@ class RecordChain:
         state (see service/stream_server.py for the semantics)."""
         idx = jnp.asarray(np.asarray(slots, np.int32))
         from wmix_tpu.engine import aec_pallas
-        aec_init = (aec_pallas.init_chain_aec(1, self.part_cap)
-                    if isinstance(self.state.aec,
-                                  aec_pallas.PallasAecState)
-                    else aec_step.init_eng_state(1, self.part_cap))
+        if self.aec_backend == "aecm" and self.flags[1]:
+            from wmix_tpu.engine import aecm_step
+            aec_init = aecm_step.init_eng_state(1, self.freq)
+        elif isinstance(self.state.aec, aec_pallas.PallasAecState):
+            aec_init = aec_pallas.init_chain_aec(1, self.part_cap)
+        else:
+            aec_init = aec_step.init_eng_state(1, self.part_cap)
         init1 = ChainState(
             ns=jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (1,) + x.shape),
@@ -137,18 +154,20 @@ class RecordChain:
     def _build_fn(self, aec_sig, use_pallas=False):
         return _build_chain_fn(aec_sig, self.sub_len,
                                self.planner.mult if self.planner else 1,
-                               self.planner.nlp_mode if self.planner else 2,
+                               getattr(self.planner, "nlp_mode", 2),
                                self.freq, self.flags, self.agc_gain_db,
                                None if self.zoom_idx is None
                                else tuple(self.zoom_idx.tolist()),
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas,
+                               aec_backend=self.aec_backend)
 
     def _pallas_on(self) -> bool:
         """Pallas AEC package kernel: production default on TPU fast
         mode at 16 kHz (WMIX_PALLAS=0/1 overrides); engages on steady
         plans only — startup runs the exact-layout jax path and the
-        state converts once."""
-        if not self.flags[1]:
+        state converts once.  The AECM backend is exact-int and has no
+        pallas path."""
+        if not self.flags[1] or self.aec_backend != "aec":
             return False
         from wmix_tpu.engine import aec_pallas
         return aec_pallas.pallas_enabled(self.freq)
@@ -204,12 +223,17 @@ class RecordChain:
             g -= AEC_FIFO_PKG_NUM
         elif g < 0:
             g += AEC_FIFO_PKG_NUM
-        if self.planner is not None:
+        if self.planner is None:
+            sig, dyn = (), {"_": np.zeros(0, np.int32)}
+        elif self.aec_backend == "aecm":
+            from wmix_tpu.engine import aecm_step
+            plan = self.planner.plan_pkg()
+            sig = plan.signature()
+            dyn = aecm_step.pack_dyn(plan)
+        else:
             plan = self.planner.plan_pkg()
             sig = plan.signature()
             dyn = aec_step.pack_dyn(plan, self.part_cap)
-        else:
-            sig, dyn = (), {"_": np.zeros(0, np.int32)}
         self.tick += 1
         return add_slot, g, sig, dyn
 
@@ -235,7 +259,11 @@ class RecordChain:
     def _run_chunk(self, mic_chunk: np.ndarray, play_chunk: np.ndarray):
         K = mic_chunk.shape[0]
         plans = [self._plan_tick() for _ in range(K)]
-        nsigs = [_normalize_sig(sig) for (_a, _g, sig, _d) in plans]
+        # AECM signatures carry no update_delay_idx; they are already
+        # normal forms
+        norm = (_normalize_sig if self.aec_backend == "aec"
+                else (lambda s: s))
+        nsigs = [norm(sig) for (_a, _g, sig, _d) in plans]
 
         period = None
         for P in (1, 2, 4):
@@ -246,7 +274,7 @@ class RecordChain:
 
         common = (self.sub_len,
                   self.planner.mult if self.planner else 1,
-                  self.planner.nlp_mode if self.planner else 2,
+                  getattr(self.planner, "nlp_mode", 2),
                   self.freq, self.flags, self.agc_gain_db,
                   None if self.zoom_idx is None
                   else tuple(self.zoom_idx.tolist()))
@@ -263,7 +291,8 @@ class RecordChain:
             if pallas_on:
                 self._ensure_aec_layout(up, plans[0][3])
             fn = _build_chain_cycle_scan_fn(tuple(nsigs[:P]), *common,
-                                            use_pallas=up)
+                                            use_pallas=up,
+                                            aec_backend=self.aec_backend)
             n_units = K // P
             dyns = tuple(
                 {k: jnp.asarray(np.stack(
@@ -316,7 +345,8 @@ class RecordChain:
                 # containing the pallas kernel costs minutes to compile,
                 # so keep it to one
                 fn = _build_chain_cycle_scan_fn(
-                    (_normalize_sig(sig),), *common, use_pallas=True)
+                    (_normalize_sig(sig),), *common, use_pallas=True,
+                    aec_backend=self.aec_backend)
                 self.state, (o, p8, vf) = fn(
                     self.state,
                     mic_r.reshape(n, 1, *mic_r.shape[1:]),
@@ -327,7 +357,8 @@ class RecordChain:
                 p8 = p8.reshape(n, *p8.shape[2:])
                 vf = vf.reshape(n, *vf.shape[2:])
             else:
-                fn = _build_chain_scan_fn(sig, *common, use_pallas=up)
+                fn = _build_chain_scan_fn(sig, *common, use_pallas=up,
+                                          aec_backend=self.aec_backend)
                 self.state, (o, p8, vf) = fn(
                     self.state, mic_r, play_r, adds_r, gets_r, dyn_stack)
             origins.append(o)
@@ -350,7 +381,7 @@ def _normalize_sig(sig):
 
 def _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                       agc_gain_db, zoom_idx, traced_upd=False,
-                      use_pallas=False):
+                      use_pallas=False, aec_backend="aec"):
     # cache key includes the floatops fast/exact mode: the traced program
     # differs between the parity (guarded) and production (fast) forms.
     # All builder caches are bounded (LRU 32): a deployment mixing many
@@ -359,15 +390,18 @@ def _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq, flags,
     return _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode,
                                     freq, flags, agc_gain_db, zoom_idx,
                                     traced_upd, floatops.fast_mode(),
-                                    use_pallas)
+                                    use_pallas, aec_backend)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                              agc_gain_db, zoom_idx, traced_upd, fast,
-                             use_pallas=False):
+                             use_pallas=False, aec_backend="aec"):
     ns_on, aec_on, agc_on, vad_on = flags
-    if aec_on and use_pallas:
+    if aec_on and aec_backend == "aecm":
+        from wmix_tpu.engine import aecm_step
+        aec_body = aecm_step.build_pkg_body(aec_sig, sub_len, mult)
+    elif aec_on and use_pallas:
         from wmix_tpu.engine import aec_pallas
         aec_body = aec_pallas.build_chain_aec_body(
             aec_sig, sub_len, mult, nlp_mode,
@@ -396,7 +430,13 @@ def _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
         play_fifo = jax.lax.dynamic_update_slice_in_dim(
             state.play_fifo, play_pkg.astype(F32)[:, None], add_slot,
             axis=1)
-        if aec_on:
+        if aec_on and aec_backend == "aecm":
+            far = jax.lax.dynamic_index_in_dim(
+                play_fifo, get_slot, axis=1, keepdims=False)
+            # the AECM path is exact-int end to end: int16-valued i32
+            # in and out (webrtc.c AECM branch has no float stage)
+            aec_st, x = aec_body(aec_st, far.astype(I32), x, dyn)
+        elif aec_on:
             far = jax.lax.dynamic_index_in_dim(
                 play_fifo, get_slot, axis=1, keepdims=False)
             aec_st, out_f = aec_body(aec_st, far, x.astype(F32), dyn)
@@ -422,33 +462,38 @@ def _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
 
 
 def _build_chain_fn(aec_sig, sub_len, mult, nlp_mode, freq, flags,
-                    agc_gain_db, zoom_idx, use_pallas=False):
+                    agc_gain_db, zoom_idx, use_pallas=False,
+                    aec_backend="aec"):
     return _build_chain_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
                                   flags, agc_gain_db, zoom_idx,
-                                  floatops.fast_mode(), use_pallas)
+                                  floatops.fast_mode(), use_pallas,
+                                  aec_backend)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_chain_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                            agc_gain_db, zoom_idx, fast,
-                           use_pallas=False):
+                           use_pallas=False, aec_backend="aec"):
     return jax.jit(_build_chain_body(aec_sig, sub_len, mult, nlp_mode,
                                      freq, flags, agc_gain_db, zoom_idx,
-                                     use_pallas=use_pallas),
+                                     use_pallas=use_pallas,
+                                     aec_backend=aec_backend),
                    donate_argnums=(0,))
 
 
 def _build_chain_scan_fn(aec_sig, sub_len, mult, nlp_mode, freq, flags,
-                         agc_gain_db, zoom_idx, use_pallas=False):
+                         agc_gain_db, zoom_idx, use_pallas=False,
+                         aec_backend="aec"):
     return _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode,
                                        freq, flags, agc_gain_db, zoom_idx,
-                                       floatops.fast_mode(), use_pallas)
+                                       floatops.fast_mode(), use_pallas,
+                                       aec_backend)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
                                 flags, agc_gain_db, zoom_idx, fast,
-                                use_pallas=False):
+                                use_pallas=False, aec_backend="aec"):
     """Chunked execution: lax.scan over K packages in ONE dispatch.
 
     Steady state has a fixed plan signature, so a whole chunk of packages
@@ -458,7 +503,8 @@ def _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
     K * 20 ms of audio per device call (SURVEY.md §7 step 7)."""
     inner = _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq,
                               flags, agc_gain_db, zoom_idx,
-                              traced_upd=True, use_pallas=use_pallas)
+                              traced_upd=True, use_pallas=use_pallas,
+                              aec_backend=aec_backend)
 
     def fn(state, mic_chunk, play_chunk, add_slots, get_slots, dyn_stack):
         def body(st, xs):
@@ -475,16 +521,17 @@ def _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
 
 def _build_chain_cycle_scan_fn(cycle_sigs, sub_len, mult, nlp_mode, freq,
                                flags, agc_gain_db, zoom_idx,
-                               use_pallas=False):
+                               use_pallas=False, aec_backend="aec"):
     return _build_chain_cycle_scan_fn_cached(
         cycle_sigs, sub_len, mult, nlp_mode, freq, flags, agc_gain_db,
-        zoom_idx, floatops.fast_mode(), use_pallas)
+        zoom_idx, floatops.fast_mode(), use_pallas, aec_backend)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_chain_cycle_scan_fn_cached(cycle_sigs, sub_len, mult, nlp_mode,
                                       freq, flags, agc_gain_db, zoom_idx,
-                                      fast, use_pallas=False):
+                                      fast, use_pallas=False,
+                                      aec_backend="aec"):
     """ONE lax.scan over super-units of P packages, where P is the period
     of the (normalized) plan-signature sequence: P=1 at 16 kHz, P=2 at
     8 kHz (the two structurally different package plans alternate,
@@ -494,7 +541,7 @@ def _build_chain_cycle_scan_fn_cached(cycle_sigs, sub_len, mult, nlp_mode,
     inners = [
         _build_chain_body(sig, sub_len, mult, nlp_mode, freq, flags,
                           agc_gain_db, zoom_idx, traced_upd=True,
-                          use_pallas=use_pallas)
+                          use_pallas=use_pallas, aec_backend=aec_backend)
         for sig in cycle_sigs]
 
     def fn(state, mic_units, play_units, add_units, get_units, dyn_tuple):

@@ -63,10 +63,12 @@ def _restore_planner(p: AecPlanner, snap: dict) -> None:
 
 
 def _aec_layout(chain) -> str:
-    from wmix_tpu.engine import aec_pallas
-    return ("pallas" if isinstance(chain.state.aec,
-                                   aec_pallas.PallasAecState)
-            else "jax")
+    from wmix_tpu.engine import aec_pallas, aecm_step
+    if isinstance(chain.state.aec, aec_pallas.PallasAecState):
+        return "pallas"
+    if isinstance(chain.state.aec, aecm_step.AecmEngState):
+        return "aecm"
+    return "jax"
 
 
 def snapshot(chain) -> bytes:
@@ -117,6 +119,10 @@ def restore(chain, data: bytes) -> None:
     want = header.get("aec_layout", "jax")
     if want != _aec_layout(chain):
         from wmix_tpu.engine import aec_pallas, aec_step
+        if want == "aecm":
+            raise ValueError(
+                "snapshot holds an AECM-backend state; construct the "
+                "target RecordChain with aec_backend='aecm'")
         aec = (aec_pallas.init_chain_aec(chain.batch, chain.part_cap)
                if want == "pallas"
                else aec_step.init_eng_state(chain.batch, chain.part_cap))
