@@ -62,16 +62,19 @@ class RecordChain:
                  agc_enable: bool = True, vad_enable: bool = True,
                  agc_gain_db: int = 5,
                  part_cap: int = aec_step.DEFAULT_PART_CAP,
-                 aec_backend: str = "aec"):
+                 aec_backend: str = "aec", chn: int = 1):
         # the daemon's module rate guards (src/wmix.c:615-699): AEC only
         # to 16 kHz; NS/AGC/VAD to 32 kHz
         if freq > 16000:
             aec_enable = False
         assert freq % 8000 == 0 and freq <= 32000
         assert aec_backend in ("aec", "aecm")
+        assert chn in (1, 2)
         self.batch = batch
         self.freq = freq
+        self.chn = chn
         self.interval_ms = interval_ms
+        # frames per package; interleaved package length is pkg_len*chn
         self.pkg_len = freq // 1000 * interval_ms
         self.flags = (ns_enable, aec_enable, agc_enable, vad_enable)
         self.agc_gain_db = agc_gain_db
@@ -101,14 +104,20 @@ class RecordChain:
             aec=aec_init,
             agc=bcast(agc_mod.init_state()),
             vad=bcast(vad_mod.init_state()),
-            play_fifo=jnp.zeros((batch, AEC_FIFO_PKG_NUM, self.pkg_len),
-                                F32),
+            play_fifo=jnp.zeros((batch, AEC_FIFO_PKG_NUM,
+                                 self.pkg_len * chn), F32),
         )
         # zoom to the 1x8000 shared-memory ring: stateless per package
-        # (wmix.c:846-848), fixed gather index per geometry
-        self.zoom_idx = np.asarray(
-            stepper.zoom_src_index(freq, 8000, self.pkg_len), np.int64) \
-            if freq != 8000 else None
+        # (wmix.c:846-848), fixed gather index per geometry.  For chn=2
+        # the zoom takes the LEFT channel (wmix_pcm_zoom mode 0x21,
+        # src/wmix.c:205-212): frame index -> interleaved offset.
+        if freq != 8000 or chn != 1:
+            frame_idx = np.asarray(
+                stepper.zoom_src_index(freq, 8000, self.pkg_len),
+                np.int64)
+            self.zoom_idx = frame_idx * chn
+        else:
+            self.zoom_idx = None
 
         # per-chunk dispatch latency accounting (WMIX_TRACE_STEPS=1;
         # SURVEY §5 tracing row) — zero overhead when disabled
@@ -143,7 +152,8 @@ class RecordChain:
             vad=jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (1,) + x.shape),
                 vad_mod.init_state()),
-            play_fifo=jnp.zeros((1, AEC_FIFO_PKG_NUM, self.pkg_len), F32),
+            play_fifo=jnp.zeros((1, AEC_FIFO_PKG_NUM,
+                                 self.pkg_len * self.chn), F32),
         )
         self.state = jax.tree_util.tree_map(
             lambda s, i: s.at[idx].set(
@@ -159,7 +169,8 @@ class RecordChain:
                                None if self.zoom_idx is None
                                else tuple(self.zoom_idx.tolist()),
                                use_pallas=use_pallas,
-                               aec_backend=self.aec_backend)
+                               aec_backend=self.aec_backend,
+                               chn=self.chn)
 
     def _pallas_on(self) -> bool:
         """Pallas AEC package kernel: production default on TPU fast
@@ -278,6 +289,7 @@ class RecordChain:
                   self.freq, self.flags, self.agc_gain_db,
                   None if self.zoom_idx is None
                   else tuple(self.zoom_idx.tolist()))
+        extra = dict(aec_backend=self.aec_backend, chn=self.chn)
 
         pallas_on = self._pallas_on()
         if pallas_on:
@@ -291,8 +303,7 @@ class RecordChain:
             if pallas_on:
                 self._ensure_aec_layout(up, plans[0][3])
             fn = _build_chain_cycle_scan_fn(tuple(nsigs[:P]), *common,
-                                            use_pallas=up,
-                                            aec_backend=self.aec_backend)
+                                            use_pallas=up, **extra)
             n_units = K // P
             dyns = tuple(
                 {k: jnp.asarray(np.stack(
@@ -346,7 +357,7 @@ class RecordChain:
                 # so keep it to one
                 fn = _build_chain_cycle_scan_fn(
                     (_normalize_sig(sig),), *common, use_pallas=True,
-                    aec_backend=self.aec_backend)
+                    **extra)
                 self.state, (o, p8, vf) = fn(
                     self.state,
                     mic_r.reshape(n, 1, *mic_r.shape[1:]),
@@ -358,7 +369,7 @@ class RecordChain:
                 vf = vf.reshape(n, *vf.shape[2:])
             else:
                 fn = _build_chain_scan_fn(sig, *common, use_pallas=up,
-                                          aec_backend=self.aec_backend)
+                                          **extra)
                 self.state, (o, p8, vf) = fn(
                     self.state, mic_r, play_r, adds_r, gets_r, dyn_stack)
             origins.append(o)
@@ -381,7 +392,7 @@ def _normalize_sig(sig):
 
 def _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                       agc_gain_db, zoom_idx, traced_upd=False,
-                      use_pallas=False, aec_backend="aec"):
+                      use_pallas=False, aec_backend="aec", chn=1):
     # cache key includes the floatops fast/exact mode: the traced program
     # differs between the parity (guarded) and production (fast) forms.
     # All builder caches are bounded (LRU 32): a deployment mixing many
@@ -390,13 +401,13 @@ def _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq, flags,
     return _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode,
                                     freq, flags, agc_gain_db, zoom_idx,
                                     traced_upd, floatops.fast_mode(),
-                                    use_pallas, aec_backend)
+                                    use_pallas, aec_backend, chn)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                              agc_gain_db, zoom_idx, traced_upd, fast,
-                             use_pallas=False, aec_backend="aec"):
+                             use_pallas=False, aec_backend="aec", chn=1):
     ns_on, aec_on, agc_on, vad_on = flags
     if aec_on and aec_backend == "aecm":
         from wmix_tpu.engine import aecm_step
@@ -414,10 +425,11 @@ def _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
         aec_body = None
     zoom = None if zoom_idx is None else jnp.asarray(zoom_idx, jnp.int32)
 
-    v_ns = jax.vmap(lambda st, pkg: ns_mod.process_pkg(st, pkg, 1, freq))
+    v_ns = jax.vmap(lambda st, pkg: ns_mod.process_pkg(st, pkg, chn,
+                                                       freq))
     v_agc = jax.vmap(lambda st, pkg: agc_mod.process_pkg(
-        st, pkg, 1, freq, agc_gain_db))
-    v_vad = jax.vmap(lambda st, pkg: vad_mod.process(st, pkg, 1, freq))
+        st, pkg, chn, freq, agc_gain_db))
+    v_vad = jax.vmap(lambda st, pkg: vad_mod.process(st, pkg, chn, freq))
 
     def fn(state: ChainState, mic_pkg, play_pkg, add_slot, get_slot, dyn):
         x = mic_pkg.astype(I32)
@@ -430,20 +442,32 @@ def _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
         play_fifo = jax.lax.dynamic_update_slice_in_dim(
             state.play_fifo, play_pkg.astype(F32)[:, None], add_slot,
             axis=1)
-        if aec_on and aec_backend == "aecm":
+        if aec_on:
             far = jax.lax.dynamic_index_in_dim(
                 play_fifo, get_slot, axis=1, keepdims=False)
+            if chn > 1:
+                # aec_process2 stereo quirk: LEFT channel only in,
+                # output duplicated to every channel
+                # (src/webrtc.c:410-483 reshape/extract loop)
+                far = far[:, ::chn]
+                near_mono = x[:, ::chn]
+            else:
+                near_mono = x
+        if aec_on and aec_backend == "aecm":
             # the AECM path is exact-int end to end: int16-valued i32
             # in and out (webrtc.c AECM branch has no float stage)
-            aec_st, x = aec_body(aec_st, far.astype(I32), x, dyn)
+            aec_st, out_mono = aec_body(aec_st, far.astype(I32),
+                                        near_mono, dyn)
         elif aec_on:
-            far = jax.lax.dynamic_index_in_dim(
-                play_fifo, get_slot, axis=1, keepdims=False)
-            aec_st, out_f = aec_body(aec_st, far, x.astype(F32), dyn)
+            aec_st, out_f = aec_body(aec_st, far, near_mono.astype(F32),
+                                     dyn)
             # (int16_t) cast: truncate toward zero, NaN -> 0
             out_f = jnp.where(jnp.isnan(out_f), jnp.float32(0), out_f)
-            x = jnp.trunc(out_f).astype(I32)
-            x = ((x + 0x8000) & 0xFFFF) - 0x8000
+            out_mono = jnp.trunc(out_f).astype(I32)
+            out_mono = ((out_mono + 0x8000) & 0xFFFF) - 0x8000
+        if aec_on:
+            x = (jnp.repeat(out_mono, chn, axis=1) if chn > 1
+                 else out_mono)
 
         if agc_on:
             agc_st, x = v_agc(agc_st, x)
@@ -463,37 +487,38 @@ def _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
 
 def _build_chain_fn(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                     agc_gain_db, zoom_idx, use_pallas=False,
-                    aec_backend="aec"):
+                    aec_backend="aec", chn=1):
     return _build_chain_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
                                   flags, agc_gain_db, zoom_idx,
                                   floatops.fast_mode(), use_pallas,
-                                  aec_backend)
+                                  aec_backend, chn)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_chain_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                            agc_gain_db, zoom_idx, fast,
-                           use_pallas=False, aec_backend="aec"):
+                           use_pallas=False, aec_backend="aec", chn=1):
     return jax.jit(_build_chain_body(aec_sig, sub_len, mult, nlp_mode,
                                      freq, flags, agc_gain_db, zoom_idx,
                                      use_pallas=use_pallas,
-                                     aec_backend=aec_backend),
+                                     aec_backend=aec_backend, chn=chn),
                    donate_argnums=(0,))
 
 
 def _build_chain_scan_fn(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                          agc_gain_db, zoom_idx, use_pallas=False,
-                         aec_backend="aec"):
+                         aec_backend="aec", chn=1):
     return _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode,
                                        freq, flags, agc_gain_db, zoom_idx,
                                        floatops.fast_mode(), use_pallas,
-                                       aec_backend)
+                                       aec_backend, chn)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
                                 flags, agc_gain_db, zoom_idx, fast,
-                                use_pallas=False, aec_backend="aec"):
+                                use_pallas=False, aec_backend="aec",
+                                chn=1):
     """Chunked execution: lax.scan over K packages in ONE dispatch.
 
     Steady state has a fixed plan signature, so a whole chunk of packages
@@ -504,7 +529,7 @@ def _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
     inner = _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq,
                               flags, agc_gain_db, zoom_idx,
                               traced_upd=True, use_pallas=use_pallas,
-                              aec_backend=aec_backend)
+                              aec_backend=aec_backend, chn=chn)
 
     def fn(state, mic_chunk, play_chunk, add_slots, get_slots, dyn_stack):
         def body(st, xs):
@@ -521,17 +546,18 @@ def _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
 
 def _build_chain_cycle_scan_fn(cycle_sigs, sub_len, mult, nlp_mode, freq,
                                flags, agc_gain_db, zoom_idx,
-                               use_pallas=False, aec_backend="aec"):
+                               use_pallas=False, aec_backend="aec",
+                               chn=1):
     return _build_chain_cycle_scan_fn_cached(
         cycle_sigs, sub_len, mult, nlp_mode, freq, flags, agc_gain_db,
-        zoom_idx, floatops.fast_mode(), use_pallas, aec_backend)
+        zoom_idx, floatops.fast_mode(), use_pallas, aec_backend, chn)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_chain_cycle_scan_fn_cached(cycle_sigs, sub_len, mult, nlp_mode,
                                       freq, flags, agc_gain_db, zoom_idx,
                                       fast, use_pallas=False,
-                                      aec_backend="aec"):
+                                      aec_backend="aec", chn=1):
     """ONE lax.scan over super-units of P packages, where P is the period
     of the (normalized) plan-signature sequence: P=1 at 16 kHz, P=2 at
     8 kHz (the two structurally different package plans alternate,
@@ -541,7 +567,8 @@ def _build_chain_cycle_scan_fn_cached(cycle_sigs, sub_len, mult, nlp_mode,
     inners = [
         _build_chain_body(sig, sub_len, mult, nlp_mode, freq, flags,
                           agc_gain_db, zoom_idx, traced_upd=True,
-                          use_pallas=use_pallas, aec_backend=aec_backend)
+                          use_pallas=use_pallas, aec_backend=aec_backend,
+                          chn=chn)
         for sig in cycle_sigs]
 
     def fn(state, mic_units, play_units, add_units, get_units, dyn_tuple):

@@ -77,6 +77,7 @@ def snapshot(chain) -> bytes:
     header = {
         "batch": chain.batch,
         "freq": chain.freq,
+        "chn": getattr(chain, "chn", 1),
         "flags": list(chain.flags),
         "agc_gain_db": chain.agc_gain_db,
         "part_cap": chain.part_cap,
@@ -106,6 +107,8 @@ def restore(chain, data: bytes) -> None:
         header = json.loads(bytes(z["header"].tobytes()).decode())
         leaves = [z[f"leaf_{i}"] for i in range(header["n_leaves"])]
 
+    if header.get("chn", 1) != getattr(chain, "chn", 1):
+        raise ValueError("chn mismatch")
     for key in ("batch", "freq", "part_cap"):
         if header[key] != getattr(chain, key):
             raise ValueError(f"{key} mismatch: snapshot "
