@@ -7,7 +7,10 @@ GENERATED from the flow graph by oracle/gen_mp3_tables.py tooling — the
 statement list is the algorithm's SSA form; constants C[i] =
 round(cos(pi*i/64) * 2^28) live in _mp3_tables.DCT32_COSTAB.
 
-Vectorized: x may be [32] or [32, N]; hi/lo outputs follow suit.
+Vectorized: x may be [32] or [32, N] (leading axes after the 32 rows);
+hi/lo outputs follow suit.  Framework-generic: numpy int32 arrays use
+the numpy path; jax arrays trace the identical int32 arithmetic, so the
+batched device synthesis (codecs/mp3_batch.py) shares this one SSA.
 """
 import numpy as np
 
@@ -15,20 +18,28 @@ from wmix_tpu.codecs import _mp3_tables as _T
 
 I32 = np.int32
 C = _T.DCT32_COSTAB
-TWO = I32(2)
+# Python-int halves of the MUL constants (b >> 16), exact in both
+# frameworks; int32 wraparound is native to numpy and jax alike.
+TWO = 2
 
 
 def MUL(a, b):
-    return ((np.asarray(a, I32) >> 12) * (I32(b) >> 16)).astype(I32)
+    return (a >> 12) * int(I32(b) >> 16)
 
 
 def SHIFT(v):
-    return ((np.asarray(v, I32) + I32(2048)) >> 12).astype(I32)
+    return (v + 2048) >> 12
 
 
 def dct32(x):
     """Returns (hi[16], lo[16]) stacked as two [16, ...] int32 arrays."""
-    x = np.asarray(x, I32)
+    if isinstance(x, np.ndarray):
+        x = np.asarray(x, I32)
+        stack = lambda rows: np.array(rows, I32)
+    else:
+        import jax.numpy as jnp
+        x = x.astype(jnp.int32)
+        stack = lambda rows: jnp.stack(rows)
     hi = [None] * 16
     lo = [None] * 16
     t0 = x[0] + x[31]
@@ -240,4 +251,4 @@ def dct32(x):
     t176 = (((((MUL(t161 - t162, C[16]) * TWO) - t163) * TWO) - t164) * TWO) - t165
     lo[13] = SHIFT(t176)
     lo[15] = SHIFT((((((((MUL(t171 - t172, C[16]) * TWO) - t173) * TWO) - t174) * TWO) - t175) * TWO) - t176)
-    return np.array(hi, I32), np.array(lo, I32)
+    return stack(hi), stack(lo)

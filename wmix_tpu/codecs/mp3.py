@@ -1399,10 +1399,24 @@ class Mp3Decoder:
                 ok = self._decode_frame_l12(data, b, h, pos)
             if ok:
                 nframes += 1
-                yield self._pcm_frame(h), h.samplerate, h.nchannels
+                if getattr(self, "emit_sbsample", False):
+                    yield h, self.fs.sbsample.copy()
+                else:
+                    yield (self._pcm_frame(h), h.samplerate,
+                           h.nchannels)
                 if max_frames and nframes >= max_frames:
                     break
             pos = next_frame
+
+    def _frames_sbsample(self, data: bytes, max_frames=None):
+        """Like frames() but yields (header, sbsample copy) BEFORE the
+        polyphase synthesis — the batched device synth consumes these
+        (codecs/mp3_batch.py; SURVEY §7 step 5 host/device split)."""
+        self.emit_sbsample = True
+        try:
+            yield from self.frames(data, max_frames)
+        finally:
+            self.emit_sbsample = False
 
     def _pcm_frame(self, h: Header) -> np.ndarray:
         nch = h.nchannels
