@@ -142,8 +142,8 @@ def _worker(batches, k_pkgs: int, n_chunks: int, stages: bool) -> None:
     # persist compiled executables across bench runs: the pallas AEC
     # kernel costs minutes to compile and the shapes repeat per round
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(_REPO, ".jax_cache"))
+        from wmix_tpu.engine.aec_pallas import _ensure_compile_cache
+        _ensure_compile_cache()
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass

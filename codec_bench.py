@@ -35,8 +35,8 @@ def bench_synth(batch: int, n_frames: int) -> dict:
     """Device-side batched synthesis throughput."""
     import jax
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(_REPO, ".jax_cache"))
+        from wmix_tpu.engine.aec_pallas import _ensure_compile_cache
+        _ensure_compile_cache()
     except Exception:
         pass
     from wmix_tpu.codecs.mp3_batch import BatchedSynth

@@ -530,9 +530,28 @@ def _ensure_compile_cache():
         return
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    # key the cache on the machine: XLA's CPU AOT cache entries embed
+    # target features of the COMPILING host and load with "could lead
+    # to execution errors" warnings (and observed 1-LSB float diffs)
+    # when the repo moves between machines.  Hostname is useless here
+    # (every container is "vm"); hash the host CPU feature flags.
+    import hashlib
+    import platform
+    feats = b""
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith((b"flags", b"Features")):
+                    feats = b" ".join(sorted(
+                        line.split(b":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    tag = (f"{platform.machine()}-"
+           f"{hashlib.sha1(feats).hexdigest()[:12]}")
     try:
         jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(repo, ".jax_cache"))
+                          os.path.join(repo, ".jax_cache", tag))
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           5)
     except Exception:
