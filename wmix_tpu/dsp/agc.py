@@ -402,7 +402,12 @@ def _downsample_by2(samples, state):
         out32 = (s3 + s7 + 1024) >> 11
         return (s0, s1, s2, s3, s4, s5, s6, s7), _sat_w16(out32)
 
-    st0 = tuple(state[i] for i in range(8))
+    # barrier the sliced scan carries: the TPU backend can fuse a
+    # row/element slice of a stacked state array into the scan init and
+    # read the WRONG slot (bitwise-diagnosed on the VAD filterbank;
+    # see dsp/vad.py _allpass)
+    st0 = jax.lax.optimization_barrier(
+        tuple(state[i] for i in range(8)))
     pairs = (samples[0::2], samples[1::2])
     st, out = jax.lax.scan(body, st0, pairs)
     return out, jnp.stack(st)

@@ -126,7 +126,14 @@ def init_state() -> VadState:
 # --------------------------------------------------------------------------
 
 def _allpass(data, coef, state16):
-    """AllPassFilter (vad_filterbank.c:83-108); data already strided."""
+    """AllPassFilter (vad_filterbank.c:83-108); data already strided.
+
+    The scan's initial carry is materialized through an
+    optimization_barrier: on the TPU backend, fusing the row-slice of
+    the stacked [5, 2] filter-state array into the scan makes the
+    carry read the WRONG slot (observed: garbage init state at B>1
+    when the whole VAD is one program; bitwise-verified fix)."""
+    state16 = jax.lax.optimization_barrier(state16)
     state32_0 = state16.astype(I32) << 16
 
     def body(state32, x):
@@ -149,7 +156,11 @@ def _split_filter(data, up16, lo16):
 
 
 def _highpass(data, state):
-    """HighPassFilter (vad_filterbank.c:41-72); state [4] int16 values."""
+    """HighPassFilter (vad_filterbank.c:41-72); state [4] int16 values.
+
+    Same TPU scan-carry slice hazard as _allpass — barrier the state."""
+    state = jax.lax.optimization_barrier(state)
+
     def body(st, x):
         f0, f1, f2, f3 = st
         tmp32 = HP_ZERO[0] * x + HP_ZERO[1] * f0 + HP_ZERO[2] * f1
@@ -510,7 +521,10 @@ def _gmm_probability(state: VadState, features, total_power,
 # --------------------------------------------------------------------------
 
 def _downsample_by2(frame, st):
-    """WebRtcVad_Downsampling (vad_sp.c:27-54); st: int32 [2]."""
+    """WebRtcVad_Downsampling (vad_sp.c:27-54); st: int32 [2].
+
+    Same TPU scan-carry slice hazard as _allpass — barrier the state."""
+    st = jax.lax.optimization_barrier(st)
     even = frame[0::2]
     odd = frame[1::2]
 

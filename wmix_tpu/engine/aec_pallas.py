@@ -168,9 +168,14 @@ CONST_FIELDS = ("m128", "m64", "mgy", "mgo", "mab", "mf64",
 
 
 def _mm(x, m):
+    # HIGHEST: the MXU's default bf16 multiply (8-bit mantissa) costs
+    # hundreds of LSB of drift through the AEC adaptation loop over
+    # seconds of audio (measured: max 822 LSB vs the jax fast path at
+    # 10 s); full-f32 multi-pass keeps the DFT matmuls bit-comparable
     return jax.lax.dot_general(
         x, m, (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------- kernel
