@@ -91,6 +91,61 @@ def bench_e2e(batch: int, n_frames: int) -> dict:
     }
 
 
+AAC_FIXTURE = "/root/reference/audio/2x44100.aac"
+
+
+def bench_aac_fb(batch: int, n_frames: int) -> dict:
+    """Device-side batched AAC inverse filterbank throughput
+    (codecs/aac_batch.py): ONLY_LONG frames, B channel slots."""
+    import jax
+    from wmix_tpu.codecs.aac_batch import BatchedFilterbank
+    rng = np.random.RandomState(0)
+    fb = BatchedFilterbank(batch)
+    spec = (rng.randn(batch, 1024) * 50).astype(np.float32)
+    jobs = [(b, 0, 0, spec[b]) for b in range(batch)]
+    fb.frame(jobs)               # compile
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        out = fb.frame(jobs)
+    jax.block_until_ready(fb.overlap)
+    dt = time.perf_counter() - t0
+    sr = 44100
+    audio_s = n_frames * 1024 / sr
+    return {
+        "batch": batch,
+        "frames": n_frames,
+        "wall_s": round(dt, 3),
+        "streams": round(batch * audio_s / dt, 1),
+    }
+
+
+def bench_aac_e2e(batch: int, n_frames: int) -> dict:
+    """End-to-end AacBatchDecoder: host front-ends + device filterbank."""
+    from wmix_tpu.codecs.aac_batch import AacBatchDecoder
+    with open(AAC_FIXTURE, "rb") as f:
+        data = f.read()
+    dec = AacBatchDecoder(batch)
+    for b in range(batch):
+        dec.start(b, data)
+    dec.tick()                   # compile + warm
+    sr = 44100
+    t0 = time.perf_counter()
+    done_frames = 0
+    for _ in range(n_frames):
+        pcms, _done = dec.tick()
+        if not pcms:
+            break
+        done_frames += 1
+    dt = time.perf_counter() - t0
+    audio_s = done_frames * 1024 / sr
+    return {
+        "batch": batch,
+        "frames": done_frames,
+        "wall_s": round(dt, 3),
+        "streams": round(batch * audio_s / dt, 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, default=3)
@@ -103,11 +158,18 @@ def main() -> None:
 
     import jax
     result = {
-        "metric": "concurrent_mp3_decode_streams_per_chip",
+        "metric": "concurrent_codec_decode_streams_per_chip",
         "backend": jax.default_backend(),
-        "synth_device": bench_synth(synth_b, synth_f),
-        "e2e_host_plus_device": bench_e2e(e2e_b, e2e_f),
-        "note": ("synth_device = the batched TPU transform math alone; "
+        "mp3": {
+            "synth_device": bench_synth(synth_b, synth_f),
+            "e2e_host_plus_device": bench_e2e(e2e_b, e2e_f),
+        },
+        "aac": {
+            "filterbank_device": bench_aac_fb(synth_b, synth_f),
+            "e2e_host_plus_device": bench_aac_e2e(e2e_b, e2e_f),
+        },
+        "note": ("*_device = the batched TPU transform math alone "
+                 "(MP3 polyphase synthesis / AAC IMDCT+filterbank); "
                  "e2e = one python host front-end process feeding it "
                  "(bitstream parsing is host work by design, SURVEY "
                  "§7.5)"),
@@ -116,8 +178,12 @@ def main() -> None:
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({
-        "synth_streams": result["synth_device"]["streams"],
-        "e2e_streams": result["e2e_host_plus_device"]["streams"],
+        "mp3_synth_streams": result["mp3"]["synth_device"]["streams"],
+        "mp3_e2e_streams":
+            result["mp3"]["e2e_host_plus_device"]["streams"],
+        "aac_fb_streams": result["aac"]["filterbank_device"]["streams"],
+        "aac_e2e_streams":
+            result["aac"]["e2e_host_plus_device"]["streams"],
         "out": out}))
 
 

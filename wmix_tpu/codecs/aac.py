@@ -1087,6 +1087,10 @@ class AacDecoder:
         self.force_up = False        # implicit signalling (<= 24 kHz)
         self.fr_ch_ele = 0
         self.element_output_channels = {}
+        # batched device filterbank support (codecs/aac_batch.py):
+        # when a list, _reconstruct appends (ch, seq, shape, spec) jobs
+        # instead of running ifilter_bank on host
+        self._defer_jobs = None
 
     # -- NeAACDecInit: parse the first ADTS header only --
     def init(self, data: bytes) -> tuple:
@@ -1155,6 +1159,13 @@ class AacDecoder:
     def _reconstruct(self, ics: ICStream, spec_f32: np.ndarray, ch: int):
         tns_decode_frame(ics, ics.tns, self.sf_index, spec_f32,
                          self.frame_len)
+        if self._defer_jobs is not None:
+            if self.sbr_present or self.force_up:
+                raise AacError("deferred filterbank is plain-LC only "
+                               "(SBR consumes time_out mid-frame)")
+            self._defer_jobs.append((ch, ics.window_sequence,
+                                     ics.window_shape, spec_f32))
+            return None
         overlap = self._overlap(ch)
         time_out, new_overlap = ifilter_bank(
             ics.window_sequence, ics.window_shape,
@@ -1375,9 +1386,10 @@ class AacDecoder:
             chans = {0: only, 1: only}
 
         self.frame += 1
-        if self.frame <= 1:
+        if self.frame <= 1 or self._defer_jobs is not None:
             # faad suppresses the first frame's output (filterbank
-            # priming, decoder.c:1187-1193); state still advances
+            # priming, decoder.c:1187-1193); state still advances.
+            # Deferred mode: pcm is assembled by the batch driver.
             pcm = np.zeros(0, np.int16)
         else:
             pcm = to_pcm_16bit([chans[c] for c in sorted(chans)])
@@ -1386,6 +1398,19 @@ class AacDecoder:
         if self.sbr_present or self.force_up:
             freq *= 2      # decoder.c:1143-1148
         return pcm, consumed, len(chans), freq
+
+    def decode_deferred(self, data: bytes):
+        """One ADTS frame with the inverse filterbank deferred to a
+        batched device program (codecs/aac_batch.py).  Host work stops
+        after TNS; returns (jobs, consumed, nch, freq, emit) where jobs
+        is [(ch, window_sequence, window_shape, spec_f32[1024]), ...]
+        and emit is False while faad's first-frame suppression holds."""
+        self._defer_jobs = []
+        try:
+            _pcm, consumed, nch, freq = self.decode(data)
+        finally:
+            jobs, self._defer_jobs = self._defer_jobs, None
+        return jobs, consumed, nch, freq, self.frame > 1
 
 
 # --------------------------------------------------------------------------
