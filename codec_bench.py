@@ -101,12 +101,16 @@ def bench_aac_fb(batch: int, n_frames: int) -> dict:
     from wmix_tpu.codecs.aac_batch import BatchedFilterbank
     rng = np.random.RandomState(0)
     fb = BatchedFilterbank(batch)
-    spec = (rng.randn(batch, 1024) * 50).astype(np.float32)
-    jobs = [(b, 0, 0, spec[b]) for b in range(batch)]
-    fb.frame(jobs)               # compile
+    spec = jnp_spec = None
+    import jax.numpy as jnp
+    jnp_spec = jnp.asarray((rng.randn(batch, 1024) * 50)
+                           .astype(np.float32))
+    idx = np.arange(batch, dtype=np.int32)
+    fb.frame_stacked(idx, 0, 0, jnp_spec)     # compile
+    jax.block_until_ready(fb.overlap)
     t0 = time.perf_counter()
     for _ in range(n_frames):
-        out = fb.frame(jobs)
+        out = fb.frame_stacked(idx, 0, 0, jnp_spec)
     jax.block_until_ready(fb.overlap)
     dt = time.perf_counter() - t0
     sr = 44100

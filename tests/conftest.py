@@ -37,6 +37,19 @@ jax.config.update("jax_enable_x64", True)
 import pytest  # noqa: E402
 
 
+# Persist compiled executables across test runs and across the per-file
+# processes of tests/run_all.sh: the heavy tier's chain programs cost
+# minutes each on XLA:CPU and recompile identically every run without
+# this.  The cache is keyed per machine (CPU feature hash) and returns
+# identical executables, so parity results are unaffected.
+try:
+    from wmix_tpu.engine.aec_pallas import _ensure_compile_cache
+    _ensure_compile_cache()
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",

@@ -293,6 +293,25 @@ class BatchedFilterbank:
         self.overlap = self.overlap.at[np.asarray(idx)].set(0.0)
         self.shape_prev[np.asarray(idx)] = 0
 
+    def frame_stacked(self, idx, seq: int, shape: int, specs):
+        """Fast path for a homogeneous frame: all `idx` slots share one
+        (sequence, shape) and their shape_prev agree; `specs` is an
+        already-stacked [len(idx), frame_len] f32 array (device or
+        host).  Returns the device time_out [len(idx), frame_len] —
+        everything stays on device."""
+        idx = np.asarray(idx, np.int32)
+        prev = int(self.shape_prev[idx[0]])
+        assert (self.shape_prev[idx] == prev).all(), \
+            "mixed shape_prev: use frame()"
+        from wmix_tpu.dsp.floatops import fast_mode
+        fn = _fb_fn(int(seq), int(shape), prev, self.frame_len,
+                    fast_mode())
+        time_out, new_ov = fn(jnp.asarray(specs, F32),
+                              self.overlap[idx])
+        self.overlap = self.overlap.at[idx].set(new_ov)
+        self.shape_prev[idx] = shape
+        return time_out
+
     def frame(self, jobs):
         """jobs: [(slot, window_sequence, window_shape,
         spec_f32 [frame_len]), ...] — one per active channel slot.

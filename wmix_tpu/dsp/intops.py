@@ -205,3 +205,39 @@ def div_w32_w16_exact(num, den):
     neg = (num < 0) ^ (den < 0)
     qi = jnp.where(neg, -(q.astype(I32)), q.astype(I32))
     return jnp.where(den == 0, jnp.int32(0x7FFFFFFF), qi)
+
+
+def div_u32_u32(num, den, zero_result=0xFFFFFFFF):
+    """Exact unsigned 32/32 division via bit-serial restoring long
+    division (NSX needs full-range uint32 denominators — variance,
+    energy and SNR ratios).  den == 0 -> `zero_result`.
+
+    The partial remainder can reach 2^32 after the shift-in when den
+    has its top bit set; the pre-shift MSB is carried explicitly so all
+    arithmetic stays in uint32."""
+    num = jnp.asarray(num, U32)
+    den = jnp.asarray(den, U32)
+    rem = jnp.zeros_like(num)
+    quo = jnp.zeros_like(num)
+    one = jnp.uint32(1)
+    for i in range(31, -1, -1):
+        carry = rem >> 31
+        rem = (rem << 1) | ((num >> i) & one)
+        take = (carry != 0) | (rem >= den)
+        rem = jnp.where(take, rem - den, rem)
+        quo = jnp.where(take, quo | (one << i), quo)
+    return jnp.where(den == 0, jnp.uint32(zero_result & 0xFFFFFFFF), quo)
+
+
+def div_w32_w32_exact(num, den):
+    """C `int32 / int32` truncating division on full-range operands via
+    the exact unsigned bit-serial core (den == 0 -> 0x7FFFFFFF to match
+    WebRtcSpl_DivW32W16's guard at the NSX call sites)."""
+    num = jnp.asarray(num, I32)
+    den = jnp.asarray(den, I32)
+    na = jnp.abs(num).astype(U32)
+    da = jnp.abs(den).astype(U32)
+    q = div_u32_u32(na, da).astype(I32)
+    neg = (num < 0) ^ (den < 0)
+    qi = jnp.where(neg, -q, q)
+    return jnp.where(den == 0, jnp.int32(0x7FFFFFFF), qi)

@@ -167,15 +167,27 @@ CONST_FIELDS = ("m128", "m64", "mgy", "mgo", "mab", "mf64",
                 "wcurve", "odcurve")
 
 
+def _mxu_precision():
+    """HIGHEST by default: the MXU's native bf16 multiply (8-bit
+    mantissa) costs hundreds of LSB of drift through the AEC adaptation
+    loop over seconds of audio (measured: max 822 LSB vs the jax fast
+    path at 10 s); full-f32 multi-pass keeps the DFT matmuls
+    bit-comparable (3 LSB at 10 s).  WMIX_MXU_PRECISION=default trades
+    parity for throughput (mosaic supports only DEFAULT and HIGHEST
+    dot precisions in-kernel).  Read at TRACE time: set it before the
+    first chain build of the process (the engine's builder caches do
+    not key on it)."""
+    import os
+    v = os.environ.get("WMIX_MXU_PRECISION", "highest").lower()
+    return {"default": jax.lax.Precision.DEFAULT,
+            "highest": jax.lax.Precision.HIGHEST}[v]
+
+
 def _mm(x, m):
-    # HIGHEST: the MXU's default bf16 multiply (8-bit mantissa) costs
-    # hundreds of LSB of drift through the AEC adaptation loop over
-    # seconds of audio (measured: max 822 LSB vs the jax fast path at
-    # 10 s); full-f32 multi-pass keeps the DFT matmuls bit-comparable
     return jax.lax.dot_general(
         x, m, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=_mxu_precision())
 
 
 # ---------------------------------------------------------------- kernel

@@ -62,13 +62,15 @@ class RecordChain:
                  agc_enable: bool = True, vad_enable: bool = True,
                  agc_gain_db: int = 5,
                  part_cap: int = aec_step.DEFAULT_PART_CAP,
-                 aec_backend: str = "aec", chn: int = 1):
+                 aec_backend: str = "aec", chn: int = 1,
+                 ns_backend: str = "ns"):
         # the daemon's module rate guards (src/wmix.c:615-699): AEC only
         # to 16 kHz; NS/AGC/VAD to 32 kHz
         if freq > 16000:
             aec_enable = False
         assert freq % 8000 == 0 and freq <= 32000
         assert aec_backend in ("aec", "aecm")
+        assert ns_backend in ("ns", "nsx")
         assert chn in (1, 2)
         self.batch = batch
         self.freq = freq
@@ -80,6 +82,7 @@ class RecordChain:
         self.agc_gain_db = agc_gain_db
         self.part_cap = part_cap
         self.aec_backend = aec_backend if aec_enable else "aec"
+        self.ns_backend = ns_backend if ns_enable else "ns"
 
         if not aec_enable:
             self.planner = None
@@ -99,8 +102,13 @@ class RecordChain:
             aec_init = aec_step.init_eng_state(batch, part_cap)
         bcast = lambda st: jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (batch,) + x.shape), st)
+        if self.ns_backend == "nsx":
+            from wmix_tpu.dsp import nsx_jnp
+            ns_init0 = nsx_jnp.init_state(freq)
+        else:
+            ns_init0 = ns_mod.init_state(freq)
         self.state = ChainState(
-            ns=bcast(ns_mod.init_state(freq)),
+            ns=bcast(ns_init0),
             aec=aec_init,
             agc=bcast(agc_mod.init_state()),
             vad=bcast(vad_mod.init_state()),
@@ -141,10 +149,15 @@ class RecordChain:
             aec_init = aec_pallas.init_chain_aec(1, self.part_cap)
         else:
             aec_init = aec_step.init_eng_state(1, self.part_cap)
+        if self.ns_backend == "nsx":
+            from wmix_tpu.dsp import nsx_jnp
+            ns_init1 = nsx_jnp.init_state(self.freq)
+        else:
+            ns_init1 = ns_mod.init_state(self.freq)
         init1 = ChainState(
             ns=jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (1,) + x.shape),
-                ns_mod.init_state(self.freq)),
+                ns_init1),
             aec=aec_init,
             agc=jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (1,) + x.shape),
@@ -170,7 +183,8 @@ class RecordChain:
                                else tuple(self.zoom_idx.tolist()),
                                use_pallas=use_pallas,
                                aec_backend=self.aec_backend,
-                               chn=self.chn)
+                               chn=self.chn,
+                               ns_backend=self.ns_backend)
 
     def _pallas_on(self) -> bool:
         """Pallas AEC package kernel: production default on TPU fast
@@ -289,7 +303,8 @@ class RecordChain:
                   self.freq, self.flags, self.agc_gain_db,
                   None if self.zoom_idx is None
                   else tuple(self.zoom_idx.tolist()))
-        extra = dict(aec_backend=self.aec_backend, chn=self.chn)
+        extra = dict(aec_backend=self.aec_backend, chn=self.chn,
+                     ns_backend=self.ns_backend)
 
         pallas_on = self._pallas_on()
         if pallas_on:
@@ -392,7 +407,8 @@ def _normalize_sig(sig):
 
 def _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                       agc_gain_db, zoom_idx, traced_upd=False,
-                      use_pallas=False, aec_backend="aec", chn=1):
+                      use_pallas=False, aec_backend="aec", chn=1,
+                      ns_backend="ns"):
     # cache key includes the floatops fast/exact mode: the traced program
     # differs between the parity (guarded) and production (fast) forms.
     # All builder caches are bounded (LRU 32): a deployment mixing many
@@ -401,13 +417,15 @@ def _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq, flags,
     return _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode,
                                     freq, flags, agc_gain_db, zoom_idx,
                                     traced_upd, floatops.fast_mode(),
-                                    use_pallas, aec_backend, chn)
+                                    use_pallas, aec_backend, chn,
+                                    ns_backend)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                              agc_gain_db, zoom_idx, traced_upd, fast,
-                             use_pallas=False, aec_backend="aec", chn=1):
+                             use_pallas=False, aec_backend="aec", chn=1,
+                             ns_backend="ns"):
     ns_on, aec_on, agc_on, vad_on = flags
     if aec_on and aec_backend == "aecm":
         from wmix_tpu.engine import aecm_step
@@ -425,8 +443,13 @@ def _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
         aec_body = None
     zoom = None if zoom_idx is None else jnp.asarray(zoom_idx, jnp.int32)
 
-    v_ns = jax.vmap(lambda st, pkg: ns_mod.process_pkg(st, pkg, chn,
-                                                       freq))
+    if ns_backend == "nsx":
+        from wmix_tpu.dsp import nsx_jnp
+        v_ns = jax.vmap(lambda st, pkg: nsx_jnp.process_pkg(
+            st, pkg, chn, freq))
+    else:
+        v_ns = jax.vmap(lambda st, pkg: ns_mod.process_pkg(st, pkg, chn,
+                                                           freq))
     v_agc = jax.vmap(lambda st, pkg: agc_mod.process_pkg(
         st, pkg, chn, freq, agc_gain_db))
     v_vad = jax.vmap(lambda st, pkg: vad_mod.process(st, pkg, chn, freq))
@@ -487,38 +510,40 @@ def _build_chain_body_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
 
 def _build_chain_fn(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                     agc_gain_db, zoom_idx, use_pallas=False,
-                    aec_backend="aec", chn=1):
+                    aec_backend="aec", chn=1, ns_backend="ns"):
     return _build_chain_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
                                   flags, agc_gain_db, zoom_idx,
                                   floatops.fast_mode(), use_pallas,
-                                  aec_backend, chn)
+                                  aec_backend, chn, ns_backend)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_chain_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                            agc_gain_db, zoom_idx, fast,
-                           use_pallas=False, aec_backend="aec", chn=1):
+                           use_pallas=False, aec_backend="aec", chn=1,
+                           ns_backend="ns"):
     return jax.jit(_build_chain_body(aec_sig, sub_len, mult, nlp_mode,
                                      freq, flags, agc_gain_db, zoom_idx,
                                      use_pallas=use_pallas,
-                                     aec_backend=aec_backend, chn=chn),
+                                     aec_backend=aec_backend, chn=chn,
+                                     ns_backend=ns_backend),
                    donate_argnums=(0,))
 
 
 def _build_chain_scan_fn(aec_sig, sub_len, mult, nlp_mode, freq, flags,
                          agc_gain_db, zoom_idx, use_pallas=False,
-                         aec_backend="aec", chn=1):
+                         aec_backend="aec", chn=1, ns_backend="ns"):
     return _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode,
                                        freq, flags, agc_gain_db, zoom_idx,
                                        floatops.fast_mode(), use_pallas,
-                                       aec_backend, chn)
+                                       aec_backend, chn, ns_backend)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
                                 flags, agc_gain_db, zoom_idx, fast,
                                 use_pallas=False, aec_backend="aec",
-                                chn=1):
+                                chn=1, ns_backend="ns"):
     """Chunked execution: lax.scan over K packages in ONE dispatch.
 
     Steady state has a fixed plan signature, so a whole chunk of packages
@@ -529,7 +554,8 @@ def _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
     inner = _build_chain_body(aec_sig, sub_len, mult, nlp_mode, freq,
                               flags, agc_gain_db, zoom_idx,
                               traced_upd=True, use_pallas=use_pallas,
-                              aec_backend=aec_backend, chn=chn)
+                              aec_backend=aec_backend, chn=chn,
+                              ns_backend=ns_backend)
 
     def fn(state, mic_chunk, play_chunk, add_slots, get_slots, dyn_stack):
         def body(st, xs):
@@ -547,17 +573,19 @@ def _build_chain_scan_fn_cached(aec_sig, sub_len, mult, nlp_mode, freq,
 def _build_chain_cycle_scan_fn(cycle_sigs, sub_len, mult, nlp_mode, freq,
                                flags, agc_gain_db, zoom_idx,
                                use_pallas=False, aec_backend="aec",
-                               chn=1):
+                               chn=1, ns_backend="ns"):
     return _build_chain_cycle_scan_fn_cached(
         cycle_sigs, sub_len, mult, nlp_mode, freq, flags, agc_gain_db,
-        zoom_idx, floatops.fast_mode(), use_pallas, aec_backend, chn)
+        zoom_idx, floatops.fast_mode(), use_pallas, aec_backend, chn,
+        ns_backend)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_chain_cycle_scan_fn_cached(cycle_sigs, sub_len, mult, nlp_mode,
                                       freq, flags, agc_gain_db, zoom_idx,
                                       fast, use_pallas=False,
-                                      aec_backend="aec", chn=1):
+                                      aec_backend="aec", chn=1,
+                                      ns_backend="ns"):
     """ONE lax.scan over super-units of P packages, where P is the period
     of the (normalized) plan-signature sequence: P=1 at 16 kHz, P=2 at
     8 kHz (the two structurally different package plans alternate,
@@ -568,7 +596,7 @@ def _build_chain_cycle_scan_fn_cached(cycle_sigs, sub_len, mult, nlp_mode,
         _build_chain_body(sig, sub_len, mult, nlp_mode, freq, flags,
                           agc_gain_db, zoom_idx, traced_upd=True,
                           use_pallas=use_pallas, aec_backend=aec_backend,
-                          chn=chn)
+                          chn=chn, ns_backend=ns_backend)
         for sig in cycle_sigs]
 
     def fn(state, mic_units, play_units, add_units, get_units, dyn_tuple):

@@ -91,6 +91,8 @@ def snapshot(chain) -> bytes:
         # restores into a fresh chain whose default layout is jax
         # (ADVICE r2 medium)
         "aec_layout": _aec_layout(chain),
+        # the NSX backend likewise changes the ns pytree structure
+        "ns_backend": getattr(chain, "ns_backend", "ns"),
     }
     buf = io.BytesIO()
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
@@ -115,6 +117,11 @@ def restore(chain, data: bytes) -> None:
                              f"{header[key]} != chain {getattr(chain, key)}")
     if tuple(header["flags"]) != tuple(chain.flags):
         raise ValueError("flags mismatch")
+    want_ns = header.get("ns_backend", "ns")
+    if want_ns != getattr(chain, "ns_backend", "ns"):
+        raise ValueError(
+            f"snapshot holds a {want_ns!r} NS-backend state; construct "
+            f"the target RecordChain with ns_backend={want_ns!r}")
 
     # rebuild the chain's AEC state tree in the snapshot's layout before
     # unflattening: a fresh chain holds the jax layout, but a snapshot

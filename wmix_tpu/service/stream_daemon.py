@@ -330,6 +330,14 @@ def main(argv=None) -> None:
     for mod in ("ns", "aec", "agc", "vad"):
         ap.add_argument(f"--no-{mod}", action="store_true",
                         help=f"disable {mod.upper()} in the chain")
+    ap.add_argument("--aec-backend", choices=("aec", "aecm"),
+                    default="aec",
+                    help="full float AEC or the fixed-point AECM "
+                         "(src/webrtc.c:172-191 build switch)")
+    ap.add_argument("--ns-backend", choices=("ns", "nsx"),
+                    default="ns",
+                    help="float NS or the fixed-point NSX "
+                         "(MAKE_WEBRTC_NSX build switch)")
     args = ap.parse_args(argv)
     addr = args.socket
     if ":" in addr and not addr.startswith("/"):
@@ -340,7 +348,9 @@ def main(argv=None) -> None:
                      ns_enable=not args.no_ns,
                      aec_enable=not args.no_aec,
                      agc_enable=not args.no_agc,
-                     vad_enable=not args.no_vad)
+                     vad_enable=not args.no_vad,
+                     aec_backend=args.aec_backend,
+                     ns_backend=args.ns_backend)
     # warm the compiled step before admitting clients: the full chain's
     # first tick costs minutes cold (pallas AEC kernel) and would stall
     # the pump mid-service; with the persistent compile cache this is
