@@ -11,24 +11,28 @@ Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": "streams", "vs_baseline": N/4096,
    "ladder": [per-batch measurements], "mfu": ..., "stages_ms": {...}}
 
-The ladder measures EVERY batch point (VERDICT r2 weak #2: stopping at
-the first success left B=4096 unmeasured); the headline value is the
-best.  MFU is analytic pallas FLOPs + XLA cost-analysis FLOPs for the
-rest of the program, against the v5e f32 peak.  stages_ms times each
-DSP stage in isolation at the headline batch, plus the host planning
-cost (VERDICT r2 weak #8 evidence).
+Budget discipline (VERDICT r3 weak #1: the round-3 bench burned its
+whole wall clock compiling the B>=4096 ladder points and the driver
+killed it with NOTHING recorded):
 
-Hardened against a wedged TPU plugin (round-1 BENCH_r01.json recorded
-nothing because the plugin's import-time connection loop hangs forever
-when the TPU service is down): every measurement attempt runs in a
-SUBPROCESS with a hard timeout, the attempt ladder is bounded, and on
-total failure the parent still prints a JSON line — the last-known-good
-value from bench_lastgood.json if present (marked "degraded": true),
-else a zero-value degraded record.  The parent process never imports
-jax.
+  * ONE worker subprocess measures ladder points in priority order
+    (headline batch first) and STREAMS each result as a flushed JSON
+    line the moment it lands;
+  * the parent enforces a TOTAL wall budget (BENCH_WALL, default 540 s):
+    when the budget expires it kills the worker and assembles the final
+    line from whatever points already streamed out;
+  * the worker also self-checks the deadline between points and skips
+    remaining points as {"error": "budget"} instead of starting a
+    compile it cannot finish.
+
+So the headline number lands within the first few minutes and nothing
+the driver does afterwards can erase it.  Hardened against a wedged TPU
+plugin as before: the parent never imports jax; on total failure it
+reports last-known-good from bench_lastgood.json (marked degraded).
 """
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -63,10 +67,13 @@ def _pallas_flops_per_pkg_per_stream() -> float:
 
 # ----------------------------------------------------------------- worker
 
-def _measure(chain_kw: dict, batch: int, k_pkgs: int, n_chunks: int,
-             want_flops: bool = False):
-    """One timed measurement; returns dict (adds xla_flops per dispatch
-    when want_flops)."""
+def _emit(obj) -> None:
+    sys.stdout.write(json.dumps(obj) + "\n")
+    sys.stdout.flush()
+
+
+def _measure(chain_kw: dict, batch: int, k_pkgs: int, n_chunks: int):
+    """One timed measurement; returns dict."""
     import numpy as np
     import jax
     from wmix_tpu.engine.chain import RecordChain
@@ -121,24 +128,17 @@ def _measure(chain_kw: dict, batch: int, k_pkgs: int, n_chunks: int,
             chain._plan_tick()
         out["plan_ms_per_chunk"] = round(
             (time.perf_counter() - t0) * 1000, 2)
-
-    if want_flops:
-        try:
-            from wmix_tpu.engine import chain as chain_mod
-            # the steady-state cycle program: XLA flops per dispatch
-            # (excludes the pallas custom call)
-            infos = [v for v in
-                     chain_mod._build_chain_cycle_scan_fn_cached
-                     .cache_info()._asdict().items()]
-            out["cache_info"] = dict(infos)
-        except Exception:
-            pass
     return out
 
 
-def _worker(batches, k_pkgs: int, n_chunks: int, stages: bool) -> None:
-    """Runs inside the subprocess; prints one JSON line on success."""
+def _worker(batches, k_pkgs: int, n_chunks: int, stages: bool,
+            deadline: float) -> None:
+    """Runs inside the subprocess; STREAMS one JSON line per result."""
     import jax
+    # smoke-test hook: the ambient sitecustomize pins JAX_PLATFORMS=axon,
+    # so a CPU run needs the config update before first backend use
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     # persist compiled executables across bench runs: the pallas AEC
     # kernel costs minutes to compile and the shapes repeat per round
     try:
@@ -147,124 +147,172 @@ def _worker(batches, k_pkgs: int, n_chunks: int, stages: bool) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
+    _emit({"event": "backend", "backend": jax.default_backend()})
 
     full = dict(ns_enable=True, aec_enable=True, agc_enable=True,
                 vad_enable=True)
-    ladder = []
+    first_done = False
     for b in batches:
+        if first_done and time.time() > deadline - 30:
+            _emit({"event": "point", "batch": b, "error": "budget"})
+            continue
         try:
-            ladder.append(_measure(full, b, k_pkgs, n_chunks))
-            print(f"  B={b}: {ladder[-1]['streams']} streams",
-                  file=sys.stderr)
+            pt = _measure(full, b, k_pkgs, n_chunks)
+            _emit({"event": "point", **pt})
+            print(f"  B={b}: {pt['streams']} streams", file=sys.stderr)
         except Exception as e:  # OOM etc.: record and continue
-            ladder.append({"batch": b, "error": str(e)[:200]})
+            _emit({"event": "point", "batch": b, "error": str(e)[:300]})
             print(f"  B={b}: FAILED {e}", file=sys.stderr)
-    ok = [d for d in ladder if "streams" in d]
-    if not ok:
-        raise SystemExit("no ladder point succeeded")
-    best = max(ok, key=lambda d: d["streams"])
-
-    # per-stage isolation at the headline batch: each module alone
-    stages_ms = {}
-    if stages:
-        iso = {
-            "ns": dict(ns_enable=True, aec_enable=False,
-                       agc_enable=False, vad_enable=False),
-            "aec": dict(ns_enable=False, aec_enable=True,
-                        agc_enable=True, vad_enable=False),
-            "agc_vad": dict(ns_enable=False, aec_enable=False,
-                            agc_enable=True, vad_enable=True),
-        }
-        # NB "aec" keeps AGC on: the AEC-only chain's int16 recast path
-        # matches either way; AGC is cheap and keeping it avoids an
-        # extra compiled variant. agc_vad isolates the int stages.
-        for name, kw in iso.items():
-            try:
-                m = _measure(kw, best["batch"], k_pkgs,
-                             max(2, n_chunks // 2))
-                stages_ms[name] = m["chunk_ms"]
-            except Exception as e:
-                stages_ms[name] = f"failed: {str(e)[:100]}"
-        stages_ms["full"] = best["chunk_ms"]
-        stages_ms["host_plan"] = best.get("plan_ms_per_chunk", 0.0)
-
-    # MFU: analytic pallas flops (the dominant matmuls) over the full
-    # chunk wall time; the non-pallas stages add a few percent
-    streams = best["streams"]
-    flops_per_s = (_pallas_flops_per_pkg_per_stream() * 50.0 * streams)
-    mfu = flops_per_s / _PEAK_F32
-
-    print(json.dumps({
-        "metric": _METRIC,
-        "value": best["streams"],
-        "unit": "streams",
-        "vs_baseline": round(best["streams"] / 4096.0, 4),
-        "batch": best["batch"],
-        "backend": jax.default_backend(),
-        "ladder": ladder,
-        "mfu_f32": round(mfu, 5),
-        "pallas_tflops": round(flops_per_s / 1e12, 3),
-        "stages_chunk_ms": stages_ms,
-    }))
+            continue
+        if not first_done and stages:
+            # per-stage isolation right after the headline point so it
+            # survives a budget kill during the bigger batches
+            first_done = True
+            iso = {
+                "ns": dict(ns_enable=True, aec_enable=False,
+                           agc_enable=False, vad_enable=False),
+                "aec": dict(ns_enable=False, aec_enable=True,
+                            agc_enable=True, vad_enable=False),
+                "agc_vad": dict(ns_enable=False, aec_enable=False,
+                                agc_enable=True, vad_enable=True),
+            }
+            # NB "aec" keeps AGC on: the AEC-only chain's int16 recast
+            # path matches either way; AGC is cheap and keeping it
+            # avoids an extra compiled variant.
+            stages_ms = {"full": pt["chunk_ms"],
+                         "host_plan": pt.get("plan_ms_per_chunk", 0.0)}
+            for name, kw in iso.items():
+                if time.time() > deadline - 60:
+                    stages_ms[name] = "skipped: budget"
+                    continue
+                try:
+                    m = _measure(kw, pt["batch"], k_pkgs,
+                                 max(2, n_chunks // 2))
+                    stages_ms[name] = m["chunk_ms"]
+                except Exception as e:
+                    stages_ms[name] = f"failed: {str(e)[:100]}"
+            _emit({"event": "stages", "stages_ms": stages_ms})
+        first_done = True
 
 
 # ----------------------------------------------------------------- parent
 
-def _try_attempt(batches, k_pkgs: int, n_chunks: int,
-                 timeout_s: int, stages: bool) -> dict | None:
+def _run_streaming(batches, k_pkgs: int, n_chunks: int,
+                   deadline: float, stages: bool):
+    """Launch the worker, collect streamed events until the deadline."""
     cmd = [sys.executable, os.path.abspath(__file__), "--worker",
            ",".join(str(b) for b in batches), str(k_pkgs), str(n_chunks),
-           "1" if stages else "0"]
+           "1" if stages else "0", str(deadline)]
+    proc = subprocess.Popen(cmd, cwd=_REPO, stdout=subprocess.PIPE,
+                            stderr=sys.stderr, text=True,
+                            start_new_session=True)
+    events = []
+    import selectors
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    buf = ""
     try:
-        proc = subprocess.run(cmd, cwd=_REPO, timeout=timeout_s,
-                              capture_output=True, text=True)
-    except subprocess.TimeoutExpired:
-        print(f"bench attempt {batches} timed out after {timeout_s}s",
-              file=sys.stderr)
-        return None
-    if proc.stderr:
-        sys.stderr.write(proc.stderr[-2000:])
-    if proc.returncode != 0:
-        print(f"bench attempt {batches} rc={proc.returncode}",
-              file=sys.stderr)
-        return None
-    for line in reversed(proc.stdout.strip().splitlines()):
+        while True:
+            left = deadline - time.time()
+            if left <= 0:
+                print("bench: wall budget exhausted, stopping worker",
+                      file=sys.stderr)
+                break
+            if not sel.select(timeout=min(left, 5.0)):
+                if proc.poll() is not None:
+                    break
+                continue
+            chunk = proc.stdout.read1(65536) if hasattr(
+                proc.stdout, "read1") else proc.stdout.readline()
+            if not chunk:
+                break
+            buf += chunk
+            while "\n" in buf:
+                line, buf = buf.split("\n", 1)
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    d = json.loads(line)
+                    if isinstance(d, dict) and "event" in d:
+                        events.append(d)
+                except ValueError:
+                    continue
+    finally:
+        sel.close()
+        if proc.poll() is None:
+            try:
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            except (OSError, ProcessLookupError):
+                pass
         try:
-            d = json.loads(line)
-            if isinstance(d, dict) and d.get("metric") == _METRIC:
-                return d
-        except ValueError:
-            continue
-    print(f"bench attempt {batches} produced no JSON line",
-          file=sys.stderr)
-    return None
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            pass
+    return events
 
 
 def main() -> None:
+    t_start = time.time()
     k_pkgs = int(os.environ.get("BENCH_K", "25"))       # 0.5 s per dispatch
     n_chunks = int(os.environ.get("BENCH_CHUNKS", "8"))
-    # the pallas AEC kernel takes ~5 min to compile cold per batch shape
-    # (cached in .jax_cache afterwards); the timeout must cover
-    # compile + run for the whole ladder
-    timeout_s = int(os.environ.get("BENCH_TIMEOUT", "2400"))
+    # TOTAL wall budget for the whole bench (compile + run, all points).
+    wall_s = int(os.environ.get("BENCH_WALL", "540"))
     stages = os.environ.get("BENCH_STAGES", "1") != "0"
     if os.environ.get("BENCH_BATCH"):
         ladder = [int(b) for b in os.environ["BENCH_BATCH"].split(",")]
     else:
-        ladder = [2048, 4096, 8192, 1024]
+        # headline batch first: its point (and the stage table) stream
+        # out before the riskier big-batch compiles start
+        ladder = [2048, 4096, 1024, 8192]
 
-    result = _try_attempt(ladder, k_pkgs, n_chunks, timeout_s, stages)
-    if result is None and len(ladder) > 1:
-        # fall back to the single known-good batch with a fresh budget
-        result = _try_attempt(ladder[:1], k_pkgs, n_chunks,
-                              timeout_s, False)
+    deadline = t_start + wall_s
+    events = _run_streaming(ladder, k_pkgs, n_chunks, deadline, stages)
 
-    if result is not None:
-        try:
-            with open(_LASTGOOD, "w") as f:
-                json.dump(result, f)
-        except OSError:
-            pass
+    points = [e for e in events if e.get("event") == "point"]
+    ladder_out = [{k: v for k, v in e.items() if k != "event"}
+                  for e in points]
+    # points the worker never reached before the kill
+    seen = {e.get("batch") for e in points}
+    for b in ladder:
+        if b not in seen:
+            ladder_out.append({"batch": b, "error": "budget"})
+    ok = [d for d in ladder_out if "streams" in d]
+    stages_ms = {}
+    for e in events:
+        if e.get("event") == "stages":
+            stages_ms = e.get("stages_ms", {})
+    backend = next((e["backend"] for e in events
+                    if e.get("event") == "backend"), "unknown")
+
+    if ok:
+        best = max(ok, key=lambda d: d["streams"])
+        streams = best["streams"]
+        flops_per_s = (_pallas_flops_per_pkg_per_stream() * 50.0 *
+                       streams)
+        mfu = flops_per_s / _PEAK_F32
+        result = {
+            "metric": _METRIC,
+            "value": best["streams"],
+            "unit": "streams",
+            "vs_baseline": round(best["streams"] / 4096.0, 4),
+            "batch": best["batch"],
+            "backend": backend,
+            "ladder": ladder_out,
+            "mfu_f32": round(mfu, 5),
+            "pallas_tflops": round(flops_per_s / 1e12, 3),
+            "stages_chunk_ms": stages_ms,
+            "wall_s": round(time.time() - t_start, 1),
+        }
+        # last-good is the degraded-fallback record for future runs:
+        # only real-chip results qualify (a CPU smoke run must not
+        # shadow the production number)
+        if backend == "tpu" and not os.environ.get("BENCH_PLATFORM"):
+            try:
+                with open(_LASTGOOD, "w") as f:
+                    json.dump(result, f)
+            except OSError:
+                pass
     else:
         # degraded: report last-known-good if available, else zero
         result = {"metric": _METRIC, "value": 0.0, "unit": "streams",
@@ -282,6 +330,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         _worker([int(b) for b in sys.argv[2].split(",")],
-                int(sys.argv[3]), int(sys.argv[4]), sys.argv[5] == "1")
+                int(sys.argv[3]), int(sys.argv[4]), sys.argv[5] == "1",
+                float(sys.argv[6]))
     else:
         main()

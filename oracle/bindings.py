@@ -23,17 +23,19 @@ import numpy as np
 ORACLE_DIR = Path(__file__).resolve().parent.parent / ".oracle"
 
 
-def available(chn: int = 1, freq: int = 8000) -> bool:
-    return (ORACLE_DIR / f"liboracle_{chn}x{freq}.so").exists()
+def available(chn: int = 1, freq: int = 8000, variant: str = "") -> bool:
+    tag = f"{variant}_" if variant else ""
+    return (ORACLE_DIR / f"liboracle_{tag}{chn}x{freq}.so").exists()
 
 
-_libs: dict[tuple[int, int], C.CDLL] = {}
+_libs: dict[tuple[int, int, str], C.CDLL] = {}
 
 
-def _lib(chn: int, freq: int) -> C.CDLL:
-    key = (chn, freq)
+def _lib(chn: int, freq: int, variant: str = "") -> C.CDLL:
+    key = (chn, freq, variant)
     if key not in _libs:
-        path = ORACLE_DIR / f"liboracle_{chn}x{freq}.so"
+        tag = f"{variant}_" if variant else ""
+        path = ORACLE_DIR / f"liboracle_{tag}{chn}x{freq}.so"
         if not path.exists():
             raise FileNotFoundError(
                 f"{path} missing — run oracle/build_oracle.sh first")
@@ -52,8 +54,11 @@ def _ptr(a, typ):
 class Oracle:
     """One engine-geometry instance of the compiled reference."""
 
-    def __init__(self, chn: int = 1, freq: int = 8000):
-        self.lib = _lib(chn, freq)
+    def __init__(self, chn: int = 1, freq: int = 8000, variant: str = ""):
+        """variant "" = the deployed default build (float NS + float AEC,
+        /root/reference/Makefile:55-62); "intdsp" = the NSX + AECM
+        integer-DSP switches (src/webrtc.c:173,512)."""
+        self.lib = _lib(chn, freq, variant)
         geo = (C.c_int32 * 8)()
         self.lib.shim_geometry(geo)
         (self.chn, self.sample, self.freq, self.aec_interval_ms,

@@ -294,4 +294,38 @@ for geom in $GEOMETRIES; do
   echo "built $out"
 done
 
+# ---- 5b. integer-DSP chain oracle: the reference's NSX + AECM switches
+# (src/webrtc.c:173 "#undef MAKE_WEBRTC_AEC // do this switch to AECM",
+# :512 "#define MAKE_WEBRTC_NSX // define this switch to NSX").  The AECM
+# switch is an in-file #undef between the outer #if and the inner #ifdef,
+# so a sed-patched copy of webrtc.c (in the gitignored build dir, never
+# the repo) stands in for the manual edit the reference instructs.
+for geom in 1x16000 1x8000; do
+  chn=${geom%x*}
+  freq=${geom#*x}
+  out="$ORACLE/liboracle_intdsp_${chn}x${freq}.so"
+  [ -f "$out" ] && continue
+  sed 's|^// #undef MAKE_WEBRTC_AEC|#undef MAKE_WEBRTC_AEC|' \
+    "$REF"/src/webrtc.c > "$ORACLE/webrtc_intdsp.c"
+  gcc -fPIC -shared -o "$out" \
+    "$REF"/src/wmix.c "$REF"/src/wmixTask.c "$REF"/src/wmixMem.c \
+    "$REF"/src/wav.c "$REF"/src/delay.c "$REF"/src/g711codec.c \
+    "$REF"/src/rtp.c "$ORACLE"/webrtc_intdsp.c "$REF"/src/mp3Type.c \
+    "$REF"/src/aacType.c "$REF"/src/speexType.c "$REF"/math/fft.c \
+    "$REF"/ui/bmp.c "$REF"/ui/fbmap.c "$REF"/ui/wave.c \
+    "$HERE"/plat_oracle/plat.c "$HERE"/shim.c "$HERE"/cpu_stub.c \
+    -I"$HERE"/plat_oracle -I"$REF"/src -I"$REF"/math -I"$REF"/ui \
+    -I"$INSTALL"/include \
+    -I"$ORACLE"/src_webrtc/webrtc_cut \
+    -L"$INSTALL"/lib -Wl,-rpath,"$INSTALL"/lib \
+    -DORACLE_CHN="$chn" -DORACLE_FREQ="$freq" \
+    -DMAKE_MP3=1 -DMAKE_AAC=1 -DMAKE_WEBRTC_VAD=1 -DMAKE_WEBRTC_AEC=1 \
+    -DMAKE_WEBRTC_NSX \
+    -DMAKE_WEBRTC_NS=1 -DMAKE_WEBRTC_AGC=1 -DMAKE_SPEEX=0 -DMAKE_SPEEX_BETA3=0 \
+    -DMAKE_MATH_FFT=1024 -DMAKE_MATH_UI=0 \
+    -lwebrtcvad -lwebrtcaec_c -lwebrtcaecm -lwebrtcns -lwebrtcagc \
+    -lmad -lfaac -lfaad -lm -lpthread
+  echo "built $out"
+done
+
 echo "oracle build complete"

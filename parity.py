@@ -103,7 +103,7 @@ class OracleChain:
     """One stream of the daemon record chain via the compiled reference,
     with per-module enables mirroring wmix->webrtcEnable."""
 
-    def __init__(self, o, freq, flags, agc_gain=5):
+    def __init__(self, o, freq, flags, agc_gain=5):  # noqa: D401
         ns_on, aec_on, agc_on, vad_on = flags
         self.ns = o.ns(chn=1, freq=freq) if ns_on else None
         self.aec = o.aec(chn=1, freq=freq, interval_ms=20) \
@@ -139,18 +139,19 @@ class OracleChain:
         return x
 
 
-def oracle_outputs(plays, mics, freq, flags) -> np.ndarray:
+def oracle_outputs(plays, mics, freq, flags,
+                   variant: str = "") -> np.ndarray:
     """[B, n] int16 reference outputs, cached on disk (deterministic)."""
     key = hashlib.sha256()
     key.update(np.ascontiguousarray(plays).tobytes())
     key.update(np.ascontiguousarray(mics).tobytes())
-    key.update(f"{freq}:{flags}:v1".encode())
+    key.update(f"{freq}:{flags}:{variant}:v1".encode())
     path = os.path.join(_CACHE, f"oracle_{key.hexdigest()[:24]}.npz")
     if os.path.exists(path):
         with np.load(path) as z:
             return z["out"]
     from oracle.bindings import Oracle
-    o = Oracle()
+    o = Oracle(variant=variant)
     B, n = mics.shape
     pkg = freq // 1000 * 20
     out = np.zeros_like(mics)
@@ -170,7 +171,8 @@ def oracle_outputs(plays, mics, freq, flags) -> np.ndarray:
 
 # ------------------------------------------------------------------ engine
 
-def engine_outputs(plays, mics, freq, flags, chunk_pkgs=50) -> np.ndarray:
+def engine_outputs(plays, mics, freq, flags, chunk_pkgs=50,
+                   ns_backend="ns", aec_backend="aec") -> np.ndarray:
     """[B, n] int16 production-chain outputs (fast mode; pallas per
     WMIX_PALLAS / backend default)."""
     import jax
@@ -180,7 +182,8 @@ def engine_outputs(plays, mics, freq, flags, chunk_pkgs=50) -> np.ndarray:
     n_pkgs = n // pkg
     ns_on, aec_on, agc_on, vad_on = flags
     chain = RecordChain(B, freq, ns_enable=ns_on, aec_enable=aec_on,
-                        agc_enable=agc_on, vad_enable=vad_on)
+                        agc_enable=agc_on, vad_enable=vad_on,
+                        ns_backend=ns_backend, aec_backend=aec_backend)
     out = np.zeros_like(mics)
     mic_k = np.transpose(
         mics[:, :n_pkgs * pkg].reshape(B, n_pkgs, pkg), (1, 0, 2))
@@ -295,6 +298,22 @@ def run(round_no: int, quick: bool) -> dict:
         w = oracle_outputs(p2, m2, freq, flags)
         g = engine_outputs(p2, m2, freq, flags)
         result["configs"][name] = error_stats(g, w, freq)
+
+    # the EXACT serving mode: full chain with the integer NSX + AECM
+    # backends (the reference's src/webrtc.c:173,512 switches) — int32
+    # arithmetic end to end, so TPU == C bitwise (VERDICT r3 next #2)
+    from oracle import bindings as _ob
+    if _ob.available(1, freq, "intdsp"):
+        print(f"[parity] int chain (NSX+AECM): B={B}, {seconds}s",
+              file=sys.stderr)
+        want_i = oracle_outputs(plays, mics, freq, FULL, variant="intdsp")
+        got_i = engine_outputs(plays, mics, freq, FULL,
+                               ns_backend="nsx", aec_backend="aecm")
+        result["configs"]["int_chain_nsx_aecm"] = error_stats(
+            got_i, want_i, freq)
+    else:
+        print("[parity] intdsp oracle missing — run "
+              "oracle/build_oracle.sh", file=sys.stderr)
 
     return result
 

@@ -11,15 +11,22 @@ program over B streams:
 
   * dct32: the shared SSA flow graph (codecs/_mp3_dct32.py) traced with
     jax int32 ops, batched over [B * ns] slots;
-  * the windowing MACs: a lax.scan over the ns subband slots carrying
-    the [B, 2(lo/hi), 2(parity), 16, 8] filter FIFO, with each stream's
-    synthesis PHASE traced (one compiled program serves every phase
-    mix; masked one-hot writes replace the C's phase-indexed stores);
+  * the windowing MACs: the C filter FIFO (synth.c's phase-rotated
+    bank writes) only ever holds the dct outputs of the 16 most recent
+    slots, so the whole frame vectorizes as a sliding-window GATHER
+    over the slot axis — no scan, no sequential dependency.  The per
+    -slot bank entry at parity/column (q&1, q>>1) is the dct output
+    from (p - q) mod 16 slots ago, a static delta table indexed by the
+    slot's phase; the carried state is just the last 16 slots' dct
+    outputs.  (The round-3 scan formulation made the device synthesis
+    itself the throughput ceiling: 2880 sequential scan steps per
+    80-frame chunk.)
   * mad_scale (the daemon's rounding to int16, wmixTask.c:1837-1845)
     fused at the end.
 
 Everything is int32 with wraparound semantics — numerically identical
-to the host `Synth` (itself bit-exact vs libmad), gated by
+to the host `Synth` (itself bit-exact vs libmad; int32 modular adds are
+associative, so the vectorized sums commute losslessly), gated by
 tests/test_mp3_batch.py.
 """
 from __future__ import annotations
@@ -63,56 +70,73 @@ def _d_tables():
     return (d0o, d0e, dfo, dfe, dme, dmo, dlast)
 
 
-def _synth_channel(filt, lo_slots, hi_slots, phases):
-    """One channel over B streams: filt [B,2,2,16,8] i32,
-    lo/hi_slots [ns, B, 16], phases [ns, B] i32 -> (filt, pcm
-    [ns, B, 32] i32)."""
+@functools.lru_cache(maxsize=1)
+def _delta_tables():
+    """Slot-distance tables: the bank entry at (parity q&1, column q>>1)
+    holds the dct output from (p - q) mod 16 slots ago, where p is the
+    current slot's phase (the synth.c FIFO writes rotate through
+    phase-indexed positions; see module docstring)."""
+    d_same = np.zeros((16, 8), np.int32)
+    d_opp = np.zeros((16, 8), np.int32)
+    for p in range(16):
+        pe = p & 1
+        for c in range(8):
+            d_same[p, c] = (p - (2 * c + pe)) % 16
+            d_opp[p, c] = (p - (2 * c + 1 - pe)) % 16
+    return d_same, d_opp
+
+
+def _synth_channel(hist_lo, hist_hi, lo_slots, hi_slots, phases):
+    """One channel over B streams, all ns slots in parallel:
+    hist_lo/hist_hi [B,16,16] i32 (dct outputs of the 16 most recent
+    slots, oldest first), lo/hi_slots [B,ns,16], phases [B,ns] i32 ->
+    (hist_lo, hist_hi, pcm [B,ns,32] i32)."""
     D0O, D0E, DFO, DFE, DME, DMO, DLAST = _d_tables()
+    d_same, d_opp = _delta_tables()
+    B, ns, _ = lo_slots.shape
 
-    def body(filt, xs):
-        LO, HI, p = xs                      # [B,16], [B,16], [B]
-        pe = (p & 1)                        # [B]
-        col = (p >> 1)
-        par1 = jax.nn.one_hot(pe, 2, dtype=I32)         # [B,2]
-        col1 = jax.nn.one_hot(col, 8, dtype=I32)        # [B,8]
-        mask = par1[:, :, None, None] * col1[:, None, None, :]
-        # masked store of this slot's dct outputs (synth.c FIFO write)
-        new = jnp.stack([LO, HI], axis=1)   # [B,2,16]
-        filt = filt * (1 - mask[:, None]) + \
-            new[:, :, None, :, None] * mask[:, None]
+    full_lo = jnp.concatenate([hist_lo, lo_slots], axis=1)  # [B,16+ns,16]
+    full_hi = jnp.concatenate([hist_hi, hi_slots], axis=1)
 
-        sel = pe[:, None, None].astype(I32)
-        fe = jnp.where(sel == 0, filt[:, 0, 0], filt[:, 0, 1])
-        fx = jnp.where(sel == 0, filt[:, 0, 1], filt[:, 0, 0])
-        fo = jnp.where(sel == 0, filt[:, 1, 1], filt[:, 1, 0])
+    # absolute slot position of slot t is 16+t; gather the 8 bank
+    # entries per parity as slices full[pos - delta(phase)]
+    pos = 16 + jnp.arange(ns, dtype=I32)[None, :, None]      # [1,ns,1]
+    idx_same = pos - jnp.take(jnp.asarray(d_same), phases, axis=0)
+    idx_opp = pos - jnp.take(jnp.asarray(d_opp), phases, axis=0)
 
-        d0o = jnp.take(D0O, p, axis=0)      # [B,8]
-        d0e = jnp.take(D0E, p, axis=0)
-        dfo = jnp.take(DFO, p, axis=0)      # [B,15,8]
-        dfe = jnp.take(DFE, p, axis=0)
-        dme = jnp.take(DME, p, axis=0)
-        dmo = jnp.take(DMO, p, axis=0)
-        dlast = jnp.take(DLAST, p, axis=0)
+    def gather(full, idx):
+        # full [B,T,16], idx [B,ns,8] -> [B,ns,8,16]
+        return jnp.take_along_axis(
+            full[:, :, None, :], idx[:, :, :, None], axis=1)
 
-        # jnp.sum promotes int32 accumulation to int64 when x64 is on;
-        # the C MACs wrap in int32 — truncate each sum back (a no-op on
-        # x32 backends)
-        s32 = lambda v: v.astype(I32)
-        d0 = s32(jnp.sum(fe[:, 0] * d0e, axis=1)) - \
-            s32(jnp.sum(fx[:, 0] * d0o, axis=1))
-        out0 = (s32(d0) >> 2)[:, None]                  # [B,1]
-        fwd = s32(s32(jnp.sum(fe[:, 1:] * dfe, axis=2)) -
-                  s32(jnp.sum(fo[:, :15] * dfo, axis=2))) >> 2
-        rev = s32(s32(jnp.sum(fe[:, 1:] * dme, axis=2)) +
-                  s32(jnp.sum(fo[:, :15] * dmo, axis=2))) >> 2
-        out16 = ((-s32(jnp.sum(fo[:, 15] * dlast, axis=1)))
-                 .astype(I32) >> 2)[:, None]
-        pcm = jnp.concatenate(
-            [out0, fwd, out16, rev[:, ::-1]], axis=1)   # [B,32]
-        return filt, pcm
+    fe = gather(full_lo, idx_same)          # same-parity lo bank
+    fx = gather(full_lo, idx_opp)           # opposite-parity lo bank
+    fo = gather(full_hi, idx_opp)           # opposite-parity hi bank
 
-    filt, pcm = jax.lax.scan(body, filt, (lo_slots, hi_slots, phases))
-    return filt, pcm
+    take = lambda tab: jnp.take(jnp.asarray(tab), phases, axis=0)
+    d0o, d0e, dlast = take(D0O), take(D0E), take(DLAST)      # [B,ns,8]
+    dfo, dfe, dme, dmo = (take(DFO), take(DFE),
+                          take(DME), take(DMO))              # [B,ns,15,8]
+
+    # jnp.sum promotes int32 accumulation to int64 when x64 is on; the
+    # C MACs wrap in int32 — truncate each sum back (a no-op on x32
+    # backends; int32 modular adds are order-independent, so the
+    # vectorized reductions stay bit-exact)
+    s32 = lambda v: v.astype(I32)
+    d0 = s32(jnp.sum(fe[:, :, :, 0] * d0e, axis=2)) - \
+        s32(jnp.sum(fx[:, :, :, 0] * d0o, axis=2))
+    out0 = (s32(d0) >> 2)[:, :, None]                        # [B,ns,1]
+    fe_sb = jnp.swapaxes(fe, 2, 3)                           # [B,ns,16,8]
+    fo_sb = jnp.swapaxes(fo, 2, 3)
+    fwd = s32(s32(jnp.sum(fe_sb[:, :, 1:] * dfe, axis=3)) -
+              s32(jnp.sum(fo_sb[:, :, :15] * dfo, axis=3))) >> 2
+    rev = s32(s32(jnp.sum(fe_sb[:, :, 1:] * dme, axis=3)) +
+              s32(jnp.sum(fo_sb[:, :, :15] * dmo, axis=3))) >> 2
+    out16 = ((-s32(jnp.sum(fo_sb[:, :, 15] * dlast, axis=2)))
+             .astype(I32) >> 2)[:, :, None]
+    pcm = jnp.concatenate(
+        [out0, fwd, out16, rev[:, :, ::-1]], axis=2)         # [B,ns,32]
+    return full_lo[:, -16:], full_hi[:, -16:], pcm
 
 
 def mad_scale_jnp(sample):
@@ -125,46 +149,49 @@ def mad_scale_jnp(sample):
 
 @functools.lru_cache(maxsize=8)
 def _synth_frame_fn(nch: int, ns: int):
-    def fn(filt, sbsample, phase0):
-        """filt [B,2,2,2,16,8]; sbsample [B,2,ns,32] i32;
-        phase0 [B] i32 -> (filt, pcm16 [B, nch, 32*ns] i16)."""
+    def fn(hist, sbsample, phase0):
+        """hist [B,2,2,16,16] (ch, lo/hi, slot, subband); sbsample
+        [B,2,ns,32] i32; phase0 [B] i32 -> (hist, pcm16
+        [B, nch, 32*ns] i16)."""
         B = sbsample.shape[0]
-        phases = (phase0[None, :] +
-                  jnp.arange(ns, dtype=I32)[:, None]) % 16   # [ns,B]
+        phases = (phase0[:, None] +
+                  jnp.arange(ns, dtype=I32)[None, :]) % 16   # [B,ns]
         outs = []
-        new_filt = []
+        new_hist = []
         for ch in range(nch):
             # [B, ns, 32] -> [32, B*ns] subband rows for the shared SSA
             xt = jnp.transpose(sbsample[:, ch], (2, 0, 1)) \
                 .reshape(32, B * ns)
             HI, LO = dct32(xt)                           # [16, B*ns]
             resh = lambda a: jnp.transpose(
-                a.reshape(16, B, ns), (2, 1, 0))         # [ns, B, 16]
-            fch, pcm = _synth_channel(filt[:, ch], resh(LO), resh(HI),
-                                      phases)
-            new_filt.append(fch)
-            outs.append(jnp.transpose(pcm, (1, 0, 2)).reshape(B,
-                                                             ns * 32))
+                a.reshape(16, B, ns), (1, 2, 0))         # [B, ns, 16]
+            hlo, hhi, pcm = _synth_channel(
+                hist[:, ch, 0], hist[:, ch, 1], resh(LO), resh(HI),
+                phases)
+            new_hist.append(jnp.stack([hlo, hhi], axis=1))
+            outs.append(pcm.reshape(B, ns * 32))
         if nch == 1:
-            filt = jnp.stack([new_filt[0], filt[:, 1]], axis=1)
+            hist = jnp.stack([new_hist[0], hist[:, 1]], axis=1)
         else:
-            filt = jnp.stack(new_filt, axis=1)
+            hist = jnp.stack(new_hist, axis=1)
         pcm = jnp.stack(outs, axis=1)
-        return filt, mad_scale_jnp(pcm)
+        return hist, mad_scale_jnp(pcm)
     return jax.jit(fn)
 
 
 class BatchedSynth:
     """B concurrent mad_synth instances with device-resident filter
-    FIFOs — the batched counterpart of codecs/mp3.Synth."""
+    FIFOs — the batched counterpart of codecs/mp3.Synth.  State per
+    stream: the dct outputs of the 16 most recent slots (lo/hi halves)
+    plus the synthesis phase."""
 
     def __init__(self, batch: int):
         self.batch = batch
-        self.filter = jnp.zeros((batch, 2, 2, 2, 16, 8), I32)
+        self.hist = jnp.zeros((batch, 2, 2, 16, 16), I32)
         self.phase = np.zeros(batch, np.int32)
 
     def reset(self, idx) -> None:
-        self.filter = self.filter.at[np.asarray(idx)].set(0)
+        self.hist = self.hist.at[np.asarray(idx)].set(0)
         self.phase[np.asarray(idx)] = 0
 
     def frame(self, sbsample: np.ndarray, nch: int, ns: int):
@@ -173,7 +200,7 @@ class BatchedSynth:
         fn = _synth_frame_fn(nch, ns)
         sb = jnp.asarray(np.ascontiguousarray(
             sbsample[:, :, :ns], np.int32))
-        self.filter, pcm = fn(self.filter, sb, jnp.asarray(self.phase))
+        self.hist, pcm = fn(self.hist, sb, jnp.asarray(self.phase))
         self.phase = (self.phase + ns) % 16
         return pcm
 
