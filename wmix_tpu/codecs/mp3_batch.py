@@ -222,11 +222,36 @@ class Mp3BatchDecoder:
         self._gens = [None] * batch
 
     def start(self, b: int, data: bytes) -> None:
-        """Begin decoding `data` on stream b."""
+        """Begin decoding `data` on stream b.
+
+        The bitstream front-end is the native C decoder (codecs/mp3fe.py,
+        ~1100x real time per core); Layer I/II streams and environments
+        without a toolchain fall back to the Python front-end."""
+        from wmix_tpu.codecs import mp3fe
         from wmix_tpu.codecs.mp3 import Mp3Decoder
-        self.front[b] = dec = Mp3Decoder()
         self.synth.reset([b])
-        self._gens[b] = dec._frames_sbsample(data)
+        if mp3fe.available():
+            self._gens[b] = self._native_gen(data)
+        else:
+            self.front[b] = dec = Mp3Decoder()
+            self._gens[b] = dec._frames_sbsample(data)
+
+    @staticmethod
+    def _native_gen(data: bytes):
+        """Native front-end with transparent Layer I/II fallback."""
+        from wmix_tpu.codecs import mp3fe
+        from wmix_tpu.codecs.mp3 import Mp3Decoder
+        # bind before iterating: a generator finalized at interpreter
+        # shutdown would otherwise evaluate the except clause against a
+        # torn-down module namespace (mp3fe.UnsupportedLayer -> None)
+        unsupported = mp3fe.UnsupportedLayer
+        try:
+            yield from mp3fe.frames_sbsample(data)
+        except unsupported:
+            # restart the whole stream on the Python front-end (mixed
+            # Layer III/I-II streams don't exist in practice; the first
+            # frame decides)
+            yield from Mp3Decoder()._frames_sbsample(data)
 
     def tick(self):
         """Decode ONE frame on every active stream; returns

@@ -19,14 +19,20 @@ _CACHE = _DIR / ".cache"
 
 
 @functools.lru_cache(maxsize=None)
-def load(name: str) -> ctypes.CDLL:
-    """Compile (if needed) and load lib<name>.so from <name>.c."""
+def load(name: str, cflags: tuple = (), deps: tuple = ()) -> ctypes.CDLL:
+    """Compile (if needed) and load lib<name>.so from <name>.c.
+
+    ``deps``: extra files (e.g. generated headers) whose mtimes also
+    trigger a rebuild.  ``cflags``: extra compiler flags."""
     src = _DIR / f"{name}.c"
     _CACHE.mkdir(exist_ok=True)
     so = _CACHE / f"lib{name}.so"
-    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+    newest = max([src.stat().st_mtime] +
+                 [Path(d).stat().st_mtime for d in deps])
+    if not so.exists() or so.stat().st_mtime < newest:
         cc = os.environ.get("CC", "gcc")
         subprocess.run(
-            [cc, "-O2", "-fPIC", "-shared", "-o", str(so), str(src)],
+            [cc, "-O2", "-fPIC", "-shared", *cflags, "-o", str(so),
+             str(src)],
             check=True)
     return ctypes.CDLL(str(so))
