@@ -354,13 +354,52 @@ class AacBatchDecoder:
         self.fb = BatchedFilterbank(batch * self.MAX_CH)
         self._bufs = [b""] * batch
         self._active = [False] * batch
+        self._native = [None] * batch
 
     def start(self, b: int, data: bytes) -> None:
+        """Begin decoding `data` on stream b.  The bitstream front-end
+        is the native C decoder (codecs/aacfe.py, ~200x real time per
+        core); it raises Unsupported on non-LC streams mid-stream, in
+        which case the stream restarts on the Python front-end."""
+        from wmix_tpu.codecs import aacfe
         from wmix_tpu.codecs.aac import AacDecoder
         self.front[b] = AacDecoder()
         self.fb.reset([b * self.MAX_CH, b * self.MAX_CH + 1])
         self._bufs[b] = data
         self._active[b] = True
+        self._native[b] = None
+        if aacfe.available():
+            try:
+                self._native[b] = aacfe.NativeAacFront(data)
+            except Exception:
+                self._native[b] = None
+
+    def _next_frame(self, b: int):
+        """One frame from stream b via the native front-end (falling
+        back to Python transparently); returns (jobs, nch, emit) or
+        None at end of stream."""
+        from wmix_tpu.codecs import aacfe
+        if self._native[b] is not None:
+            try:
+                r = self._native[b].next_frame()
+            except aacfe.Unsupported:
+                # restart the stream on the Python front-end (the
+                # first frame decides: LC streams never switch)
+                self._native[b] = None
+                return self._next_frame(b)
+            if r is None:
+                return None
+            jobs, nch, _freq, emit = r
+            return jobs, nch, emit
+        buf = self._bufs[b]
+        if len(buf) < 7:
+            return None
+        fjobs, consumed, nch, _freq, emit = \
+            self.front[b].decode_deferred(buf)
+        if consumed == 0:
+            return None
+        self._bufs[b] = buf[consumed:]
+        return fjobs, nch, emit
 
     def tick(self):
         """Decode ONE ADTS frame on every active stream; returns
@@ -371,14 +410,15 @@ class AacBatchDecoder:
         for b in range(self.batch):
             if not self._active[b]:
                 continue
-            buf = self._bufs[b]
-            if len(buf) < 7:
+            try:
+                r = self._next_frame(b)
+            except Exception:
+                r = None
+            if r is None:
                 self._active[b] = False
                 done.append(b)
                 continue
-            fjobs, consumed, nch, freq, emit = \
-                self.front[b].decode_deferred(buf)
-            self._bufs[b] = buf[consumed:]
+            fjobs, nch, emit = r
             slot_jobs = [(b * self.MAX_CH + ch, seq, shape, spec)
                          for ch, seq, shape, spec in fjobs]
             jobs.extend(slot_jobs)
