@@ -294,6 +294,32 @@ for geom in $GEOMETRIES; do
   echo "built $out"
 done
 
+# ---- 5a. t31-geometry oracle: the Ingenic hardware-AEC platform's
+# degenerate timing (AEC_INTERVALMS=0, PLAY_CORRECT=0,
+# /root/reference/platform/t31/plat.h:10-16) over the same null HAL ----
+out="$ORACLE/liboracle_t31_1x8000.so"
+if [ ! -f "$out" ]; then
+  gcc -fPIC -shared -o "$out" \
+    "$REF"/src/wmix.c "$REF"/src/wmixTask.c "$REF"/src/wmixMem.c \
+    "$REF"/src/wav.c "$REF"/src/delay.c "$REF"/src/g711codec.c \
+    "$REF"/src/rtp.c "$REF"/src/webrtc.c "$REF"/src/mp3Type.c \
+    "$REF"/src/aacType.c "$REF"/src/speexType.c "$REF"/math/fft.c \
+    "$REF"/ui/bmp.c "$REF"/ui/fbmap.c "$REF"/ui/wave.c \
+    "$HERE"/plat_oracle/plat.c "$HERE"/shim.c "$HERE"/cpu_stub.c \
+    -I"$HERE"/plat_oracle -I"$REF"/src -I"$REF"/math -I"$REF"/ui \
+    -I"$INSTALL"/include \
+    -I"$ORACLE"/src_webrtc/webrtc_cut \
+    -L"$INSTALL"/lib -Wl,-rpath,"$INSTALL"/lib \
+    -DORACLE_CHN=1 -DORACLE_FREQ=8000 \
+    -DORACLE_AECMS=0 -DORACLE_PLAYCORRECT=0 \
+    -DMAKE_MP3=1 -DMAKE_AAC=1 -DMAKE_WEBRTC_VAD=1 -DMAKE_WEBRTC_AEC=1 \
+    -DMAKE_WEBRTC_NS=1 -DMAKE_WEBRTC_AGC=1 -DMAKE_SPEEX=0 -DMAKE_SPEEX_BETA3=0 \
+    -DMAKE_MATH_FFT=1024 -DMAKE_MATH_UI=0 \
+    -lwebrtcvad -lwebrtcaec_c -lwebrtcaecm -lwebrtcns -lwebrtcagc \
+    -lmad -lfaac -lfaad -lm -lpthread
+  echo "built $out"
+fi
+
 # ---- 5b. integer-DSP chain oracle: the reference's NSX + AECM switches
 # (src/webrtc.c:173 "#undef MAKE_WEBRTC_AEC // do this switch to AECM",
 # :512 "#define MAKE_WEBRTC_NSX // define this switch to NSX").  The AECM

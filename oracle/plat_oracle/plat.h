@@ -20,10 +20,17 @@
 #define PLAT_CHN ORACLE_CHN
 #define PLAT_SAMPLE 16
 #define PLAT_FREQ ORACLE_FREQ
-/* echo-path delay, matching the alsa platform default */
-#define PLAT_AEC_INTERVALMS 400
-/* write-ahead placement of the mix cursor: 0.2 s, alsa formula */
-#define PLAT_PLAY_CORRECT (PLAT_CHN * PLAT_FREQ * 16 / 8 / 5)
+/* echo-path delay; alsa default 400 ms, t31 hardware-AEC geometry 0
+ * (platform/t31/plat.h:14) — overridable for per-platform parity */
+#ifndef ORACLE_AECMS
+#define ORACLE_AECMS 400
+#endif
+#define PLAT_AEC_INTERVALMS ORACLE_AECMS
+/* write-ahead placement of the mix cursor: alsa 0.2 s formula; t31 0 */
+#ifndef ORACLE_PLAYCORRECT
+#define ORACLE_PLAYCORRECT (PLAT_CHN * PLAT_FREQ * 16 / 8 / 5)
+#endif
+#define PLAT_PLAY_CORRECT ORACLE_PLAYCORRECT
 
 void *plat_ao_init(int chn, int freq);
 void *plat_ai_init(int chn, int freq);

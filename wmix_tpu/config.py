@@ -28,6 +28,9 @@ class EngineConfig:
     sample: int = 16
     interval_ms: int = 20
     aec_interval_ms: int = 400
+    # platform write-ahead override; None = the alsa 0.2 s formula.
+    # The t31 platform pins it to 0 (platform/t31/plat.h:16).
+    play_correct_override: int | None = None
     # The reference picks AEC/NS variants at COMPILE time
     # (MAKE_WEBRTC_AEC vs MAKE_SPEEX_BETA3, src/webrtc.c:172-191; NS vs
     # NSX :511-530); the rebuild makes them per-engine config.
@@ -76,8 +79,21 @@ class EngineConfig:
     @property
     def play_correct(self) -> int:
         """Write-ahead placement of a fresh mix cursor, in bytes (0.2 s);
-        alsa formula PLAT_PLAY_CORRECT (platform/alsa/plat.h:21)."""
+        alsa formula PLAT_PLAY_CORRECT (platform/alsa/plat.h:21), or the
+        platform override (t31 pins 0, platform/t31/plat.h:16)."""
+        if self.play_correct_override is not None:
+            return self.play_correct_override
         return self.chn * self.freq * 16 // 8 // 5
+
+    @classmethod
+    def t31(cls, **kw) -> "EngineConfig":
+        """The Ingenic T31 geometry (platform/t31/plat.h:10-16): mono
+        8 kHz, hardware AEC (zero echo-path delay), no write-ahead."""
+        kw.setdefault("chn", 1)
+        kw.setdefault("freq", 8000)
+        kw.setdefault("aec_interval_ms", 0)
+        kw.setdefault("play_correct_override", 0)
+        return cls(**kw)
 
     @property
     def aec_fifo_pkgs(self) -> int:

@@ -63,7 +63,8 @@ class RecordChain:
                  agc_gain_db: int = 5,
                  part_cap: int = aec_step.DEFAULT_PART_CAP,
                  aec_backend: str = "aec", chn: int = 1,
-                 ns_backend: str = "ns"):
+                 ns_backend: str = "ns",
+                 aec_interval_ms: int = AEC_INTERVALMS):
         # the daemon's module rate guards (src/wmix.c:615-699): AEC only
         # to 16 kHz; NS/AGC/VAD to 32 kHz
         if freq > 16000:
@@ -83,6 +84,10 @@ class RecordChain:
         self.part_cap = part_cap
         self.aec_backend = aec_backend if aec_enable else "aec"
         self.ns_backend = ns_backend if ns_enable else "ns"
+        # per-platform echo-path delay (alsa 400 ms; t31 0 — hardware
+        # AEC, platform/t31/plat.h:14); FIFO depth per src/wmixConf.h:141
+        self.aec_interval_ms = aec_interval_ms
+        self.fifo_pkgs = aec_interval_ms // interval_ms + 2
 
         if not aec_enable:
             self.planner = None
@@ -112,7 +117,7 @@ class RecordChain:
             aec=aec_init,
             agc=bcast(agc_mod.init_state()),
             vad=bcast(vad_mod.init_state()),
-            play_fifo=jnp.zeros((batch, AEC_FIFO_PKG_NUM,
+            play_fifo=jnp.zeros((batch, self.fifo_pkgs,
                                  self.pkg_len * chn), F32),
         )
         # zoom to the 1x8000 shared-memory ring: stateless per package
@@ -165,7 +170,7 @@ class RecordChain:
             vad=jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (1,) + x.shape),
                 vad_mod.init_state()),
-            play_fifo=jnp.zeros((1, AEC_FIFO_PKG_NUM,
+            play_fifo=jnp.zeros((1, self.fifo_pkgs,
                                  self.pkg_len * self.chn), F32),
         )
         self.state = jax.tree_util.tree_map(
@@ -238,16 +243,17 @@ class RecordChain:
 
     def _plan_tick(self):
         """Host bookkeeping for one tick: FIFO slots + AEC plan."""
+        n = self.fifo_pkgs
         add_slot = self.play_count
-        self.play_count = (self.play_count + 1) % AEC_FIFO_PKG_NUM
+        self.play_count = (self.play_count + 1) % n
         c = self.play_count
-        g = c - (AEC_INTERVALMS // 20)
-        g = min(max(g, 0), AEC_FIFO_PKG_NUM)
+        g = c - (self.aec_interval_ms // self.interval_ms)
+        g = min(max(g, 0), n)
         g = c - g
-        if g >= AEC_FIFO_PKG_NUM:
-            g -= AEC_FIFO_PKG_NUM
+        if g >= n:
+            g -= n
         elif g < 0:
-            g += AEC_FIFO_PKG_NUM
+            g += n
         if self.planner is None:
             sig, dyn = (), {"_": np.zeros(0, np.int32)}
         elif self.aec_backend == "aecm":

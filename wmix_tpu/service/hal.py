@@ -72,6 +72,70 @@ class NullHal(Hal):
         return bytes(size)
 
 
+class T31Hal(Hal):
+    """Ingenic T31 analog (platform/t31/plat.c): the hi3516-style null
+    device plus the T31's ×7 volume mapping (vol 0..10 -> device units
+    0..70, plat.c:19-26,71-133) and the hardware-AEC geometry
+    (AEC_INTERVALMS=0, PLAY_CORRECT=0 — see EngineConfig.t31()).
+
+    Volume semantics reproduced: set clamps >10 to 70 and <1 to 0,
+    else vol*7; get returns device_units // 7 (floor), 0 below the
+    minimum."""
+
+    VOL_MAX, VOL_DIV, VOL_MIN = 70, 7, 0
+
+    def __init__(self, hw_aec: bool = False):
+        # T31_AEC_EN (plat.c:303-309): the IMP SDK's built-in echo
+        # canceller on the capture path; modeled as a flag the daemon's
+        # chain config reads (hardware AEC means the software AEC stays
+        # off and the delay FIFO is degenerate)
+        self.hw_aec = hw_aec
+        self._ao_vol = 60   # IMP defaults land mid-range
+        self._ai_vol = 60
+
+    def _map_set(self, vol: int) -> int:
+        if vol > 10:
+            return 10 * self.VOL_DIV + self.VOL_MIN
+        if vol < 1:
+            return 0
+        return vol * self.VOL_DIV + self.VOL_MIN
+
+    def _map_get(self, dev: int) -> int:
+        if dev < self.VOL_MIN:
+            return 0
+        return (dev - self.VOL_MIN) // self.VOL_DIV
+
+    def ao_init(self, chn, freq):
+        return object()
+
+    def ao_exit(self, obj):
+        pass
+
+    def ao_write(self, obj, data):
+        return len(data)
+
+    def ao_vol_set(self, obj, vol):
+        self._ao_vol = self._map_set(vol)
+
+    def ao_vol_get(self, obj):
+        return self._map_get(self._ao_vol)
+
+    def ai_init(self, chn, freq):
+        return object()
+
+    def ai_exit(self, obj):
+        pass
+
+    def ai_read(self, obj, size):
+        return bytes(size)
+
+    def ai_vol_set(self, obj, vol):
+        self._ai_vol = self._map_set(vol)
+
+    def ai_vol_get(self, obj):
+        return self._map_get(self._ai_vol)
+
+
 class LoopHal(Hal):
     """Test/headless HAL: ao_write appends to a capture buffer; ai_read
     pulls from a programmable source array (then silence).  Thread-safe;
