@@ -8,13 +8,12 @@ Two numbers, honestly separated:
     B * audio_s / wall_s.  This is the array math SURVEY §7 step 5 puts
     on the TPU.
   * mp3_e2e_streams — end-to-end Mp3BatchDecoder: per-stream host
-    bitstream front-end (sync/huffman/requantize/IMDCT, Python) + one
-    batched device synth per frame tick.  Host parsing dominates — the
-    reference's own libmad front-end is also serial C per stream; the
-    honest per-process capacity is recorded as measured.
+    bitstream front-ends (native C, codecs/mp3fe.py ~1100x realtime per
+    core; AAC via codecs/aacfe.py ~200x) + one batched device transform
+    per frame tick.
 
 Writes CODEC_r0N.json and prints one JSON line.
-Usage: python codec_bench.py [--round N] [--quick]
+Usage: python codec_bench.py [--round N] [--quick] [--platform cpu]
 """
 from __future__ import annotations
 
@@ -70,7 +69,8 @@ def bench_e2e(batch: int, n_frames: int) -> dict:
     dec = Mp3BatchDecoder(batch)
     for b in range(batch):
         dec.start(b, data)
-    pcm, _ = dec.tick()      # compile + warm
+    for _ in range(8):       # compile + warm
+        pcm, _ = dec.tick()
     sr = 44100
     t0 = time.perf_counter()
     done_frames = 0
@@ -131,7 +131,11 @@ def bench_aac_e2e(batch: int, n_frames: int) -> dict:
     dec = AacBatchDecoder(batch)
     for b in range(batch):
         dec.start(b, data)
-    dec.tick()                   # compile + warm
+    # warm enough ticks to compile every (window sequence, shape, prev)
+    # filterbank variant the stream mixes (LONG_START/SHORT/STOP blocks
+    # appear within the first seconds of the fixture)
+    for _ in range(30):
+        dec.tick()
     sr = 44100
     t0 = time.perf_counter()
     done_frames = 0
@@ -152,15 +156,21 @@ def bench_aac_e2e(batch: int, n_frames: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=3)
+    ap.add_argument("--round", type=int, default=4)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.quick:
-        synth_b, synth_f, e2e_b, e2e_f = 64, 40, 4, 40
+        synth_b, synth_f, e2e_b, e2e_f = 64, 40, 16, 40
     else:
-        synth_b, synth_f, e2e_b, e2e_f = 512, 80, 8, 120
+        # e2e batch 128: the native front-ends moved the host feed from
+        # 0.16x to 200-1100x realtime/core, so the e2e measurement can
+        # exercise a production-sized batch
+        synth_b, synth_f, e2e_b, e2e_f = 512, 80, 128, 120
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     result = {
         "metric": "concurrent_codec_decode_streams_per_chip",
         "backend": jax.default_backend(),
@@ -174,9 +184,9 @@ def main() -> None:
         },
         "note": ("*_device = the batched TPU transform math alone "
                  "(MP3 polyphase synthesis / AAC IMDCT+filterbank); "
-                 "e2e = one python host front-end process feeding it "
-                 "(bitstream parsing is host work by design, SURVEY "
-                 "§7.5)"),
+                 "e2e = the native C bitstream front-ends feeding it "
+                 "from one core (host parsing is host work by design, "
+                 "SURVEY §7.5)"),
     }
     out = os.path.join(_REPO, f"CODEC_r{args.round:02d}.json")
     with open(out, "w") as f:

@@ -555,17 +555,26 @@ def _ensure_compile_cache():
     import hashlib
     import platform
     feats = b""
+    model = b""
     try:
         with open("/proc/cpuinfo", "rb") as f:
             for line in f:
-                if line.startswith((b"flags", b"Features")):
+                if not feats and line.startswith((b"flags", b"Features")):
                     feats = b" ".join(sorted(
                         line.split(b":", 1)[1].split()))
+                if not model and line.startswith(b"model name"):
+                    model = line.split(b":", 1)[1].strip()
+                if feats and model:
                     break
     except OSError:
         pass
+    # model name included: XLA:CPU picks tuning features (e.g.
+    # prefer-no-gather) from the CPU MODEL, not the flag set — two hosts
+    # with identical cpuinfo flags but different models produce
+    # incompatible AOT entries (observed: feature-mismatch load warnings
+    # and potential SIGILL)
     tag = (f"{platform.machine()}-"
-           f"{hashlib.sha1(feats).hexdigest()[:12]}")
+           f"{hashlib.sha1(feats + b'|' + model).hexdigest()[:12]}")
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(repo, ".jax_cache", tag))
