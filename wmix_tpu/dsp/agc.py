@@ -594,14 +594,12 @@ def process_digital(st: AgcState, frame, fs: int, table):
     glim = jax.vmap(limit_one)(gains[1:], env)
     gains = jnp.concatenate([gains[:1], glim])
 
-    # gain reductions 1 ms early
-    def back_body(carry, g_next):
-        return carry, None
-    g_rev = gains[1:]
-    # gains[k] = min(gains[k], gains[k+1]) for k = 1..9 (in order)
-    def fwd(k, g):
-        return g.at[k].set(jnp.minimum(g[k], g[k + 1]))
-    gains = jax.lax.fori_loop(1, 10, fwd, gains)
+    # gain reductions 1 ms early:
+    # gains[k] = min(gains[k], gains[k+1]) for k = 1..9: each step reads
+    # the ORIGINAL k+1 entry (modified only at later k), so the loop is
+    # a plain pairwise minimum — vectorized, no scatter/fori
+    gains = jnp.concatenate(
+        [gains[0:1], jnp.minimum(gains[1:10], gains[2:11]), gains[10:]])
 
     new_gain = gains[10]
 

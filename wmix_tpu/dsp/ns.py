@@ -212,6 +212,13 @@ def _tree_select(mask, a, b):
     return jax.tree.map(lambda x, y: jnp.where(mask, x, y), a, b)
 
 
+def _set1(vec, k: int, val):
+    """vec.at[k].set(val) as a select: .at[].set lowers to scatter under
+    the engine's vmap (TPU-serialized); the masked select is
+    value-identical and fuses."""
+    return jnp.where(jnp.arange(vec.shape[0]) == k, val, vec)
+
+
 class _K:
     """Opaque-constant pool: k(c) is exactly float32(c) but runtime-valued,
     so the algebraic simplifier cannot merge it with neighboring constants
@@ -242,11 +249,11 @@ def _fft(win, z):
 
 def _ifft(real, imag, n):
     """IFFT helper (ns_core.c:923-944) including the 2/n scaling."""
-    a = jnp.zeros(n, F32)
-    a = a.at[0].set(real[0])
-    a = a.at[1].set(real[-1])
-    a = a.at[2::2].set(real[1:-1])
-    a = a.at[3::2].set(imag[1:-1])
+    # Ooura packing [re0, reN, re1, im1, re2, im2, ...] built by
+    # interleave+concat (scatter-free; .at[2::2] lowers to scatter
+    # under the engine's vmap)
+    pairs = jnp.stack([real[1:-1], imag[1:-1]], axis=-1).reshape(-1)
+    a = jnp.concatenate([real[0:1], real[-1:], pairs])
     t = rdft_traced(a, inverse=True)
     return t * jnp.float32(np.float32(2.0) / np.float32(n))
 
@@ -259,37 +266,41 @@ def _noise_estimation(st: NsState, magn, z):
     updates = st.updates + (st.updates < END_STARTUP_LONG).astype(I32)
     lmagn = flog(magn)
 
-    lq = st.lquantile
-    dens = st.density
-    counter = st.counter
+    # rows collected and stacked at the end: per-row .at[s].set lowers
+    # to scatter under vmap (TPU-serialized); stacking is free
+    lq_rows, dens_rows, ctr_rows = [], [], []
     quantile = st.quantile
     for s in range(SIMULT):
-        cnt1 = (counter[s] + 1).astype(F32)
+        lq_s = st.lquantile[s]
+        dens_s = st.density[s]
+        ctr_s = st.counter[s]
+        cnt1 = (ctr_s + 1).astype(F32)
         # FACTOR * 1.f / density parses as (FACTOR*1)/density: one divide
-        delta = jnp.where(dens[s] > jnp.float32(1.0),
-                          jnp.float32(FACTOR) / dens[s],
-                          jnp.full_like(dens[s], FACTOR))
-        up = lq[s] + gm(QUANTILE, delta, z) / cnt1
-        dn = lq[s] - gm(jnp.float32(1.0) - QUANTILE, delta, z) / cnt1
-        new_lq = jnp.where(lmagn > lq[s], up, dn)
+        delta = jnp.where(dens_s > jnp.float32(1.0),
+                          jnp.float32(FACTOR) / dens_s,
+                          jnp.full_like(dens_s, FACTOR))
+        up = lq_s + gm(QUANTILE, delta, z) / cnt1
+        dn = lq_s - gm(jnp.float32(1.0) - QUANTILE, delta, z) / cnt1
+        new_lq = jnp.where(lmagn > lq_s, up, dn)
         new_dens = jnp.where(
             jnp.abs(lmagn - new_lq) < WIDTH,
-            (gm(counter[s].astype(F32), dens[s], z) +
+            (gm(ctr_s.astype(F32), dens_s, z) +
              jnp.float32(1.0) / (jnp.float32(2.0) * WIDTH)) / cnt1,
-            dens[s])
-        lq = lq.at[s].set(new_lq)
-        dens = dens.at[s].set(new_dens)
+            dens_s)
+        lq_rows.append(new_lq)
+        dens_rows.append(new_dens)
 
-        wrap = counter[s] >= END_STARTUP_LONG
+        wrap = ctr_s >= END_STARTUP_LONG
         take = wrap & (updates >= END_STARTUP_LONG)
         quantile = jnp.where(take, fexp(new_lq), quantile)
-        counter = counter.at[s].set(
-            jnp.where(wrap, 0, counter[s]) + 1)
+        ctr_rows.append(jnp.where(wrap, 0, ctr_s) + 1)
 
+    lq = jnp.stack(lq_rows)
     # startup: use the last tracker's quantile each frame
     quantile = jnp.where(updates < END_STARTUP_LONG,
                          fexp(lq[SIMULT - 1]), quantile)
-    st = st._replace(lquantile=lq, density=dens, counter=counter,
+    st = st._replace(lquantile=lq, density=jnp.stack(dens_rows),
+                     counter=jnp.stack(ctr_rows),
                      updates=updates, quantile=quantile)
     return st, quantile
 
@@ -304,12 +315,23 @@ def _hist_bin(value, bin_size):
     return ok, jnp.clip(idx, 0, HIST_PAR_EST - 1)
 
 
+def _hist_add(hist, idx, inc):
+    """hist.at[idx].add(inc) without a scatter: TPU lowers traced-index
+    scatters to serialized kernels (and the engine vmaps a batch axis
+    onto this, making it a [B, 1000] scatter per frame — measured as the
+    dominant NS stage cost); the one-hot add is value-identical in int32
+    and stays a fused compare+select+add."""
+    iota = jax.lax.iota(I32, hist.shape[0])
+    return hist + jnp.where(iota == idx, inc, jnp.int32(0))
+
+
 def _two_peaks(hist, bin_mids):
     """The running first/second peak scan (ns_core.c:386-432) is
     equivalent to first-occurrence argmax, then argmax of the rest."""
     i1 = jnp.argmax(hist)
     p1 = hist[i1]
-    rest = hist.at[i1].set(-1)
+    # hist.at[i1].set(-1) without the traced-index scatter
+    rest = jnp.where(jnp.arange(hist.shape[0]) == i1, -1, hist)
     i2 = jnp.argmax(rest)
     p2 = jnp.maximum(rest[i2], 0)
     pos1 = jnp.where(p1 > 0, bin_mids[i1], jnp.float32(0.0))
@@ -371,12 +393,12 @@ def _feature_parameter_extraction(st: NsState, z):
     feature_sum = (jnp.int32(1) + use_flat.astype(I32) +
                    use_diff.astype(I32)).astype(F32)
     pm = st.prior_model
-    pm = pm.at[0].set(thr_lrt)
-    pm = pm.at[1].set(thr_flat)
-    pm = pm.at[3].set(thr_diff)
-    pm = pm.at[4].set(jnp.float32(1.0) / feature_sum)
-    pm = pm.at[5].set(use_flat.astype(F32) / feature_sum)
-    pm = pm.at[6].set(use_diff.astype(F32) / feature_sum)
+    pm = _set1(pm, 0, thr_lrt)
+    pm = _set1(pm, 1, thr_flat)
+    pm = _set1(pm, 3, thr_diff)
+    pm = _set1(pm, 4, jnp.float32(1.0) / feature_sum)
+    pm = _set1(pm, 5, use_flat.astype(F32) / feature_sum)
+    pm = _set1(pm, 6, use_diff.astype(F32) / feature_sum)
     return st._replace(
         prior_model=pm,
         hist_lrt=jnp.zeros_like(st.hist_lrt),
@@ -392,7 +414,7 @@ def _feature_update(st: NsState, magn, M: int, z=None):
     num = gq(seq_sum(flog(magn[1:])), oc(float(M), z), z)
     spectral_tmp = fexp(num) / den
     fd = st.feature_data
-    fd = fd.at[0].set(fd[0] + gm(SPECT_FL_TAVG, spectral_tmp - fd[0], z))
+    fd = _set1(fd, 0, fd[0] + gm(SPECT_FL_TAVG, spectral_tmp - fd[0], z))
 
     # ComputeSpectralDifference (:595-634)
     mf = oc(float(M), z)
@@ -404,11 +426,11 @@ def _feature_update(st: NsState, magn, M: int, z=None):
     cov = cov / mf
     var_pause = var_pause / mf
     var_magn = var_magn / mf
-    fd = fd.at[6].set(fd[6] + st.signal_energy)
+    fd = _set1(fd, 6, fd[6] + st.signal_energy)
     k = _K(z)
     avg_diff = var_magn - gq(gm(cov, cov, z), var_pause + k(1e-4), z)
     avg_diff = avg_diff / (fd[5] + k(1e-4))
-    fd = fd.at[4].set(fd[4] + gm(SPECT_DIFF_TAVG, avg_diff - fd[4], z))
+    fd = _set1(fd, 4, fd[4] + gm(SPECT_DIFF_TAVG, avg_diff - fd[4], z))
     st = st._replace(feature_data=fd)
 
     # histogram bookkeeping; modelUpdatePars[0] == 2 -> always on
@@ -418,21 +440,21 @@ def _feature_update(st: NsState, magn, M: int, z=None):
     ok_d, i_d = _hist_bin(fd[4], BIN_SIZE_SPEC_DIFF)
     update_hist = countdown > 0
     st_hist = st._replace(
-        hist_lrt=st.hist_lrt.at[i_l].add(
-            (ok_l & update_hist).astype(I32)),
-        hist_spec_flat=st.hist_spec_flat.at[i_f].add(
-            (ok_f & update_hist).astype(I32)),
-        hist_spec_diff=st.hist_spec_diff.at[i_d].add(
-            (ok_d & update_hist).astype(I32)),
+        hist_lrt=_hist_add(st.hist_lrt, i_l,
+                           (ok_l & update_hist).astype(I32)),
+        hist_spec_flat=_hist_add(st.hist_spec_flat, i_f,
+                                 (ok_f & update_hist).astype(I32)),
+        hist_spec_diff=_hist_add(st.hist_spec_diff, i_d,
+                                 (ok_d & update_hist).astype(I32)),
         update_countdown=countdown)
 
     extracted = _feature_parameter_extraction(st_hist, z)
     fd2 = extracted.feature_data
     z2 = guard_zero(fd2)
-    fd2 = fd2.at[6].set(fd2[6] / oc(float(MODEL_UPDATE_WINDOW), z2))
-    fd2 = fd2.at[5].set(jnp.float32(0.5) * (fd2[6] + fd2[5]))
+    fd2 = _set1(fd2, 6, fd2[6] / oc(float(MODEL_UPDATE_WINDOW), z2))
+    fd2 = _set1(fd2, 5, jnp.float32(0.5) * (fd2[6] + fd2[5]))
     # note: featureData[6] scaling happens before [5], then [6] reset
-    fd3 = fd2.at[6].set(jnp.float32(0.0))
+    fd3 = _set1(fd2, 6, jnp.float32(0.0))
     extracted = extracted._replace(
         feature_data=fd3,
         update_countdown=jnp.int32(MODEL_UPDATE_WINDOW))
@@ -453,7 +475,7 @@ def _speech_noise_prob(st: NsState, snr_prior, snr_post, M: int,
     lrt = st.log_lrt_time_avg
     lrt = lrt + LRT_TAVG * ((bessel - flog(t1)) - lrt)
     ksum = seq_sum(lrt) / oc(float(M), z)
-    fd = st.feature_data.at[3].set(ksum)
+    fd = _set1(st.feature_data, 3, ksum)
 
     thr0 = st.prior_model[0]
     thr1 = st.prior_model[1]
@@ -597,7 +619,7 @@ def _analyze_active(st: NsState, win, fs, B, A, M, z):
     # featureData[5] average signal energy during startup (:1165-1169)
     fd = st.feature_data
     fd5 = (gm(fd[5], block_ind.astype(F32), z) + signal_energy) / bi1
-    fd = fd.at[5].set(jnp.where(block_ind < END_STARTUP_LONG, fd5, fd[5]))
+    fd = _set1(fd, 5, jnp.where(block_ind < END_STARTUP_LONG, fd5, fd[5]))
     st = st._replace(feature_data=fd)
 
     # ComputeSnr (:566-588)
@@ -632,9 +654,10 @@ def process(st: NsState, frames, fs: int):
     data_buf = jnp.concatenate([st.data_buf[B:], frames[0].astype(F32)])
     hb = st.data_buf_hb
     if num_bands > 1:
-        for i in range(num_bands - 1):
-            hb = hb.at[i].set(
-                jnp.concatenate([hb[i, B:], frames[i + 1].astype(F32)]))
+        rows = [jnp.concatenate([hb[i, B:], frames[i + 1].astype(F32)])
+                for i in range(num_bands - 1)]
+        rows += [hb[i] for i in range(num_bands - 1, hb.shape[0])]
+        hb = jnp.stack(rows)
     st = st._replace(data_buf=data_buf, data_buf_hb=hb)
 
     z = guard_zero(frames.astype(F32))
@@ -772,8 +795,8 @@ def process_pkg(st: NsState, pkg, chn: int, freq: int):
         bands = seg[:B].T  # [chn, B]
         st = analyze(st, bands[0], freq)
         st, out_bands = process(st, bands, freq)
-        full = jnp.zeros((pkg_frame, chn), F32)
-        full = full.at[:B].set(out_bands.T)
+        full = out_bands.T if pkg_frame == B else jnp.concatenate(
+            [out_bands.T, jnp.zeros((pkg_frame - B, chn), F32)])
         outs.append(full)
     out = jnp.concatenate(outs).reshape(-1)
     # (int16_t) cast truncates toward zero

@@ -292,15 +292,17 @@ def _find_minimum(vals, ages, mean, frame_counter, feature):
     # aging loop with removal; replicated literally (the post-removal
     # entries' age bookkeeping is order-dependent)
     def age_body(i, carry):
+        # traced-index .at[] ops lower to scatter under the engine's
+        # vmap (TPU-serialized); the masked selects are value-identical
         v, a = carry
         is_removal = a[i] == 100
         # removal: shift left from i, tail gets (101, 10000)
         v_shift = jnp.where(idx16 >= i, jnp.roll(v, -1), v)
-        v_shift = v_shift.at[15].set(10000)
+        v_shift = jnp.where(idx16 == 15, 10000, v_shift)
         a_shift = jnp.where(idx16 >= i, jnp.roll(a, -1), a)
-        a_shift = a_shift.at[15].set(101)
+        a_shift = jnp.where(idx16 == 15, 101, a_shift)
         # no removal: increment this age
-        a_inc = a.at[i].add(1)
+        a_inc = jnp.where(idx16 == i, a + 1, a)
         v2 = jnp.where(is_removal, v_shift, v)
         a2 = jnp.where(is_removal, a_shift, a_inc)
         return (v2, a2)
@@ -313,8 +315,8 @@ def _find_minimum(vals, ages, mean, frame_counter, feature):
     v_shift = jnp.where(idx16 > pos, jnp.roll(vals, 1), vals)
     a_shift = jnp.where(idx16 > pos, jnp.roll(ages, 1), ages)
     safe_pos = jnp.clip(pos, 0, 15)
-    v_new = v_shift.at[safe_pos].set(feature)
-    a_new = a_shift.at[safe_pos].set(1)
+    v_new = jnp.where(idx16 == safe_pos, feature, v_shift)
+    a_new = jnp.where(idx16 == safe_pos, 1, a_shift)
     vals = jnp.where(do_insert, v_new, vals)
     ages = jnp.where(do_insert, a_new, ages)
 
@@ -607,7 +609,8 @@ def process(state: VadState, pkg, chn: int, freq: int,
         # and the mute loop runs from cLen to pkgFrame, so only the first
         # subpackage's pass attenuates anything (src/webrtc.c:140-141)
         if i == 0:
-            out = out.at[:pkg_frame].set(seg >> red)
+            out = (seg >> red if out.shape[0] == pkg_frame else
+                   jnp.concatenate([seg >> red, out[pkg_frame:]]))
     if chn > 1:
         out_pkg = jnp.repeat(out, chn)
     else:

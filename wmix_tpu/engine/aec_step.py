@@ -72,11 +72,25 @@ def _ring_idx(start, n, cap):
 
 
 def _ring_read(buf, start, n):
-    return buf[:, _ring_idx(start, n, buf.shape[1])]
+    """buf[:, (start+t) % cap] via a dynamic roll: the gather form
+    lowers to a serialized TPU gather per call."""
+    return jnp.roll(buf, -start, axis=1)[:, :n]
 
 
 def _ring_write(buf, start, data):
-    return buf.at[:, _ring_idx(start, data.shape[1], buf.shape[1])].set(data)
+    """Masked-select ring write at (start+t) % cap — value-identical to
+    the traced-index scatter, without the scatter."""
+    B, cap = buf.shape
+    L = data.shape[1]
+    if L == cap:
+        return jnp.roll(data, start, axis=1)
+    padded = jnp.concatenate(
+        [data, jnp.zeros((B, cap - L), data.dtype)], axis=1)
+    shifted = jnp.roll(padded, start, axis=1)
+    mask = jnp.roll(jnp.concatenate(
+        [jnp.ones((1, L), jnp.bool_),
+         jnp.zeros((1, cap - L), jnp.bool_)], axis=1), start, axis=1)
+    return jnp.where(mask, shifted, buf)
 
 
 def build_pkg_body(signature, sub_len: int, mult: int, nlp_mode: int,

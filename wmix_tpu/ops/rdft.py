@@ -467,12 +467,12 @@ def _fast_rdft(x: jax.Array, inverse: bool) -> jax.Array:
         X = jnp.fft.rfft(x, axis=-1)
         re = jnp.real(X).astype(jnp.float32)
         im = (-jnp.imag(X)).astype(jnp.float32)
-        out = jnp.zeros(x.shape, jnp.float32)
-        out = out.at[..., 0].set(re[..., 0])
-        out = out.at[..., 1].set(re[..., n // 2])
-        out = out.at[..., 2::2].set(re[..., 1:n // 2])
-        out = out.at[..., 3::2].set(im[..., 1:n // 2])
-        return out
+        # interleave+concat packing (the strided .at[..., 2::2].set
+        # form lowers to scatter under the engine's vmap)
+        pairs = jnp.stack([re[..., 1:n // 2], im[..., 1:n // 2]],
+                          axis=-1).reshape(*x.shape[:-1], n - 2)
+        return jnp.concatenate(
+            [re[..., 0:1], re[..., n // 2:n // 2 + 1], pairs], axis=-1)
     re = jnp.concatenate(
         [x[..., 0:1], x[..., 2::2], x[..., 1:2]], axis=-1)
     im = jnp.concatenate(
