@@ -299,6 +299,22 @@ def run(round_no: int, quick: bool) -> dict:
         g = engine_outputs(p2, m2, freq, flags)
         result["configs"][name] = error_stats(g, w, freq)
 
+    # the float EXACT mode without hardware f64: WMIX_EXACT=1 keeps the
+    # guarded f32 forms and routes transcendentals through the
+    # double-float emulation (dsp/ddmath.py) — the TPU answer to the
+    # reference's (float)(double op) libm calls (VERDICT r3 next #3).
+    # Pallas auto-disables under exact mode (aec_pallas.pallas_enabled).
+    if not jax.config.jax_enable_x64:
+        os.environ["WMIX_EXACT"] = "1"
+        try:
+            print("[parity] full chain, WMIX_EXACT=1 "
+                  "(dd transcendentals)", file=sys.stderr)
+            got_e = engine_outputs(plays, mics, freq, FULL)
+            result["configs"]["full_chain_exact_dd"] = \
+                error_stats(got_e, want, freq)
+        finally:
+            del os.environ["WMIX_EXACT"]
+
     # the EXACT serving mode: full chain with the integer NSX + AECM
     # backends (the reference's src/webrtc.c:173,512 switches) — int32
     # arithmetic end to end, so TPU == C bitwise (VERDICT r3 next #2)

@@ -101,30 +101,54 @@ def _via_double(fn, x):
     return fn(x.astype(_wide_dtype())).astype(F32)
 
 
+def _use_dd() -> bool:
+    """Exact mode without hardware f64 (the TPU parity configuration):
+    route transcendentals through the double-float emulation
+    (dsp/ddmath.py) — (float)(f64 op) up to a measured < 1e-5 per-call
+    mismatch rate, ~1000x tighter than native f32 ops.  Fast mode keeps
+    plain f32 (throughput)."""
+    return not fast_mode() and not jax.config.jax_enable_x64
+
+
 def flog(x):
     """(float)log((double)x)."""
+    if _use_dd():
+        from wmix_tpu.dsp import ddmath
+        return ddmath.dd_log(x)
     return _via_double(jnp.log, x)
 
 
 def fexp(x):
     """(float)exp((double)x)."""
+    if _use_dd():
+        from wmix_tpu.dsp import ddmath
+        return ddmath.dd_exp(x)
     return _via_double(jnp.exp, x)
 
 
 def ftanh(x):
     """(float)tanh((double)x)."""
+    if _use_dd():
+        from wmix_tpu.dsp import ddmath
+        return ddmath.dd_tanh(x)
     return _via_double(jnp.tanh, x)
 
 
 def fsqrt_d(x):
     """(float)sqrt((double)x) — double sqrt is exactly rounded, so this is
     the correctly-rounded route the C takes via libm sqrt()."""
+    if _use_dd():
+        from wmix_tpu.dsp import ddmath
+        return ddmath.dd_sqrt(x)
     return _via_double(jnp.sqrt, x)
 
 
 def fpow_div(num, base, expo):
     """(float)(num / pow(base, expo)) with the division in double, as in
     ns_core.c:1152-1153."""
+    if _use_dd():
+        from wmix_tpu.dsp import ddmath
+        return ddmath.dd_pow_div(num, base, expo)
     w = _wide_dtype()
     d = num.astype(w) / jnp.power(base.astype(w), expo.astype(w))
     return d.astype(F32)
