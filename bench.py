@@ -76,11 +76,21 @@ def _measure(chain_kw: dict, batch: int, k_pkgs: int, n_chunks: int):
     """One timed measurement; returns dict."""
     import numpy as np
     import jax
-    from wmix_tpu.engine.chain import RecordChain
+    from wmix_tpu.engine.chain import RecordChain, ShardedRecordChain
 
     freq = 16000
     pkg = freq // 1000 * 20
-    chain = RecordChain(batch, freq, **chain_kw)
+    # Above the shard width, the monolithic program exceeds the TPU
+    # compile helper (round-3 ladder failure at B>=4096); serve the
+    # batch as shard-width dispatches that all hit ONE compiled
+    # executable (bitwise-identical streams,
+    # tests/test_engine_chain.py::test_sharded_chain_matches_monolithic)
+    shard_w = int(os.environ.get("BENCH_SHARD_W", "2048"))
+    if batch > shard_w and batch % shard_w == 0:
+        chain = ShardedRecordChain(batch, freq, shards=batch // shard_w,
+                                   **chain_kw)
+    else:
+        chain = RecordChain(batch, freq, **chain_kw)
     rng = np.random.RandomState(0)
 
     # advance the host planner past the AEC startup phase (3 packages of

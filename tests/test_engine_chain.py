@@ -164,3 +164,29 @@ def test_chain_32k_ns_agc_vad():
     o, p8, v = c.step(mic, play)
     assert np.asarray(o).shape == (B, pkg)
     assert np.asarray(p8).shape == (B, 160)   # 20 ms at 1x8000
+
+
+def test_sharded_chain_matches_monolithic():
+    """ShardedRecordChain (the B>=4096 compile-size escape hatch) must
+    produce bitwise-identical streams to one monolithic chain: shard
+    planners run the same deterministic tick sequence, and each stream's
+    state never crosses shards."""
+    from wmix_tpu.engine.chain import ShardedRecordChain
+    freq, B, K = 16000, 4, 6
+    pkg = freq // 1000 * 20
+    rng = np.random.RandomState(7)
+    mic_c = (rng.randn(K, B, pkg) * 3000).astype(np.int16)
+    play_c = (rng.randn(K, B, pkg) * 5000).astype(np.int16)
+    mono = RecordChain(B, freq)
+    shard = ShardedRecordChain(B, freq, shards=2)
+    o1, p1, v1 = (np.asarray(x) for x in mono.run_chunk(mic_c, play_c))
+    o2, p2, v2 = (np.asarray(x) for x in shard.run_chunk(mic_c, play_c))
+    assert np.array_equal(o1, o2)
+    assert np.array_equal(p1, p2)
+    assert np.array_equal(v1, v2)
+    # second chunk: carried state stays aligned
+    o1b = np.asarray(mono.run_chunk(mic_c, play_c)[0])
+    o2b = np.asarray(shard.run_chunk(mic_c, play_c)[0])
+    assert np.array_equal(o1b, o2b)
+    # slot reset addressing maps into the right shard
+    shard.reset_slots([0, 3])
