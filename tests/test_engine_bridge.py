@@ -9,11 +9,10 @@ import numpy as np
 import pytest
 
 from wmix_tpu.config import EngineConfig
-from wmix_tpu.service.core import WmixDaemon
+from wmix_tpu.service.core import (WR_AEC, WR_AGC, WR_NS, WR_VAD,
+                                   WmixDaemon)
 from wmix_tpu.service.engine_bridge import EngineBridge
 from wmix_tpu.service.hal import LoopHal
-
-WR_AEC, WR_NS, WR_NS_PA, WR_AGC, WR_VAD = 0, 1, 2, 3, 4
 FREQ = 8000
 PKG = FREQ // 1000 * 20
 

@@ -25,10 +25,8 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+from wmix_tpu.service.core import WR_AEC, WR_AGC, WR_NS, WR_VAD
 from wmix_tpu.service.stream_server import StreamServer
-
-# wmix->webrtcEnable indices (service/core.py)
-WR_AEC, WR_NS, WR_NS_PA, WR_AGC, WR_VAD = 0, 1, 2, 3, 4
 
 
 class EngineBridge:
