@@ -240,7 +240,7 @@ STAGES = {
 }
 
 
-def run(round_no: int, quick: bool) -> dict:
+def run(round_no: int, quick: bool, save=None) -> dict:
     freq = 16000
     if quick:
         B, seconds = 8, 10
@@ -267,6 +267,13 @@ def run(round_no: int, quick: bool) -> dict:
         "configs": {},
     }
 
+    def _checkpoint():
+        # stream the artifact to disk config by config so a wall-clock
+        # kill still leaves a valid PARITY file (the round-3 lesson:
+        # all-or-nothing measurement runs record nothing when killed)
+        if save is not None:
+            save(result)
+
     # headline: full chain, production path
     print(f"[parity] full chain: B={B}, {seconds}s, backend={backend}, "
           f"pallas={result['pallas']}", file=sys.stderr)
@@ -275,29 +282,26 @@ def run(round_no: int, quick: bool) -> dict:
     got = engine_outputs(plays, mics, freq, FULL)
     result["configs"]["full_chain"] = error_stats(got, want, freq)
     result["scenes"] = meta
+    _checkpoint()
 
-    # attribution A: pallas off (fast-jax AEC path), same inputs
-    if result["pallas"]:
-        os.environ["WMIX_PALLAS"] = "0"
-        try:
-            print("[parity] full chain, WMIX_PALLAS=0", file=sys.stderr)
-            got2 = engine_outputs(plays, mics, freq, FULL)
-            result["configs"]["full_chain_no_pallas"] = \
-                error_stats(got2, want, freq)
-            result["configs"]["pallas_vs_jaxfast"] = \
-                error_stats(got, got2, freq)
-        finally:
-            del os.environ["WMIX_PALLAS"]
-
-    # attribution B: per-stage isolation
-    ns2 = stage_s * freq
-    p2, m2, _ = build_streams(stage_b, ns2, freq)
-    for name, flags in STAGES.items():
-        print(f"[parity] stage {name}: B={stage_b}, {stage_s}s",
+    # the EXACT serving mode: full chain with the integer NSX + AECM
+    # backends (the reference's src/webrtc.c:173,512 switches) — int32
+    # arithmetic end to end, so TPU == C bitwise (VERDICT r3 next #2).
+    # Measured right after the headline so the north-star evidence
+    # survives a budget kill during the attribution configs below.
+    from oracle import bindings as _ob
+    if _ob.available(1, freq, "intdsp"):
+        print(f"[parity] int chain (NSX+AECM): B={B}, {seconds}s",
               file=sys.stderr)
-        w = oracle_outputs(p2, m2, freq, flags)
-        g = engine_outputs(p2, m2, freq, flags)
-        result["configs"][name] = error_stats(g, w, freq)
+        want_i = oracle_outputs(plays, mics, freq, FULL, variant="intdsp")
+        got_i = engine_outputs(plays, mics, freq, FULL,
+                               ns_backend="nsx", aec_backend="aecm")
+        result["configs"]["int_chain_nsx_aecm"] = error_stats(
+            got_i, want_i, freq)
+        _checkpoint()
+    else:
+        print("[parity] intdsp oracle missing — run "
+              "oracle/build_oracle.sh", file=sys.stderr)
 
     # the float EXACT mode without hardware f64: WMIX_EXACT=1 keeps the
     # guarded f32 forms and routes transcendentals through the
@@ -314,22 +318,32 @@ def run(round_no: int, quick: bool) -> dict:
                 error_stats(got_e, want, freq)
         finally:
             del os.environ["WMIX_EXACT"]
+        _checkpoint()
 
-    # the EXACT serving mode: full chain with the integer NSX + AECM
-    # backends (the reference's src/webrtc.c:173,512 switches) — int32
-    # arithmetic end to end, so TPU == C bitwise (VERDICT r3 next #2)
-    from oracle import bindings as _ob
-    if _ob.available(1, freq, "intdsp"):
-        print(f"[parity] int chain (NSX+AECM): B={B}, {seconds}s",
+    # attribution A: pallas off (fast-jax AEC path), same inputs
+    if result["pallas"]:
+        os.environ["WMIX_PALLAS"] = "0"
+        try:
+            print("[parity] full chain, WMIX_PALLAS=0", file=sys.stderr)
+            got2 = engine_outputs(plays, mics, freq, FULL)
+            result["configs"]["full_chain_no_pallas"] = \
+                error_stats(got2, want, freq)
+            result["configs"]["pallas_vs_jaxfast"] = \
+                error_stats(got, got2, freq)
+        finally:
+            del os.environ["WMIX_PALLAS"]
+        _checkpoint()
+
+    # attribution B: per-stage isolation
+    ns2 = stage_s * freq
+    p2, m2, _ = build_streams(stage_b, ns2, freq)
+    for name, flags in STAGES.items():
+        print(f"[parity] stage {name}: B={stage_b}, {stage_s}s",
               file=sys.stderr)
-        want_i = oracle_outputs(plays, mics, freq, FULL, variant="intdsp")
-        got_i = engine_outputs(plays, mics, freq, FULL,
-                               ns_backend="nsx", aec_backend="aecm")
-        result["configs"]["int_chain_nsx_aecm"] = error_stats(
-            got_i, want_i, freq)
-    else:
-        print("[parity] intdsp oracle missing — run "
-              "oracle/build_oracle.sh", file=sys.stderr)
+        w = oracle_outputs(p2, m2, freq, flags)
+        g = engine_outputs(p2, m2, freq, flags)
+        result["configs"][name] = error_stats(g, w, freq)
+        _checkpoint()
 
     return result
 
@@ -340,11 +354,17 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    result = run(args.round, args.quick)
     out = args.out or os.path.join(
         _REPO, f"PARITY_r{args.round:02d}.json")
-    with open(out, "w") as f:
-        json.dump(result, f, indent=1)
+
+    def save(result: dict) -> None:
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f, indent=1)
+        os.replace(tmp, out)
+
+    result = run(args.round, args.quick, save=save)
+    save(result)
     full = result["configs"]["full_chain"]
     print(json.dumps({
         "headline": f"max |err| {full['max_lsb']} LSB, "
