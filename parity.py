@@ -256,6 +256,16 @@ def run(round_no: int, quick: bool, save=None) -> dict:
     from wmix_tpu.dsp import floatops
     from wmix_tpu.engine.aec_pallas import pallas_enabled
 
+    from oracle import bindings as _ob
+    expected = ["full_chain"]
+    if _ob.available(1, freq, "intdsp"):
+        expected.append("int_chain_nsx_aecm")
+    if not jax.config.jax_enable_x64:
+        expected.append("full_chain_exact_dd")
+    if pallas_enabled(freq):
+        expected += ["full_chain_no_pallas", "pallas_vs_jaxfast"]
+    expected += list(STAGES)
+
     result = {
         "metric": "production_chain_lsb_error_vs_c_reference",
         "freq": freq,
@@ -264,6 +274,11 @@ def run(round_no: int, quick: bool, save=None) -> dict:
         "pallas": pallas_enabled(freq),
         "batch": B,
         "seconds": seconds,
+        # a killed run leaves complete=False with the configs measured so
+        # far; skipped-by-environment configs are visible as the
+        # difference between expected_configs and configs (ADVICE r4)
+        "complete": False,
+        "expected_configs": expected,
         "configs": {},
     }
 
@@ -274,22 +289,14 @@ def run(round_no: int, quick: bool, save=None) -> dict:
         if save is not None:
             save(result)
 
-    # headline: full chain, production path
-    print(f"[parity] full chain: B={B}, {seconds}s, backend={backend}, "
-          f"pallas={result['pallas']}", file=sys.stderr)
     plays, mics, meta = build_streams(B, n, freq)
-    want = oracle_outputs(plays, mics, freq, FULL)
-    got = engine_outputs(plays, mics, freq, FULL)
-    result["configs"]["full_chain"] = error_stats(got, want, freq)
     result["scenes"] = meta
-    _checkpoint()
 
-    # the EXACT serving mode: full chain with the integer NSX + AECM
-    # backends (the reference's src/webrtc.c:173,512 switches) — int32
-    # arithmetic end to end, so TPU == C bitwise (VERDICT r3 next #2).
-    # Measured right after the headline so the north-star evidence
-    # survives a budget kill during the attribution configs below.
-    from oracle import bindings as _ob
+    # North-star config #1, measured FIRST so a wall-clock kill cannot
+    # lose it again (VERDICT r4 next #1/#2): the EXACT serving mode —
+    # full chain with the integer NSX + AECM backends (the reference's
+    # src/webrtc.c:173,512 switches), int32 arithmetic end to end, so
+    # TPU == C bitwise.
     if _ob.available(1, freq, "intdsp"):
         print(f"[parity] int chain (NSX+AECM): B={B}, {seconds}s",
               file=sys.stderr)
@@ -303,11 +310,14 @@ def run(round_no: int, quick: bool, save=None) -> dict:
         print("[parity] intdsp oracle missing — run "
               "oracle/build_oracle.sh", file=sys.stderr)
 
-    # the float EXACT mode without hardware f64: WMIX_EXACT=1 keeps the
-    # guarded f32 forms and routes transcendentals through the
-    # double-float emulation (dsp/ddmath.py) — the TPU answer to the
-    # reference's (float)(double op) libm calls (VERDICT r3 next #3).
-    # Pallas auto-disables under exact mode (aec_pallas.pallas_enabled).
+    want = oracle_outputs(plays, mics, freq, FULL)
+
+    # North-star config #2: the float EXACT mode without hardware f64.
+    # WMIX_EXACT=1 keeps the guarded f32 forms and routes
+    # transcendentals through the double-float emulation
+    # (dsp/ddmath.py) — the TPU answer to the reference's
+    # (float)(double op) libm calls (VERDICT r3 next #3).  Pallas
+    # auto-disables under exact mode (aec_pallas.pallas_enabled).
     if not jax.config.jax_enable_x64:
         os.environ["WMIX_EXACT"] = "1"
         try:
@@ -319,6 +329,13 @@ def run(round_no: int, quick: bool, save=None) -> dict:
         finally:
             del os.environ["WMIX_EXACT"]
         _checkpoint()
+
+    # headline: full chain, production path
+    print(f"[parity] full chain: B={B}, {seconds}s, backend={backend}, "
+          f"pallas={result['pallas']}", file=sys.stderr)
+    got = engine_outputs(plays, mics, freq, FULL)
+    result["configs"]["full_chain"] = error_stats(got, want, freq)
+    _checkpoint()
 
     # attribution A: pallas off (fast-jax AEC path), same inputs
     if result["pallas"]:
@@ -345,12 +362,15 @@ def run(round_no: int, quick: bool, save=None) -> dict:
         result["configs"][name] = error_stats(g, w, freq)
         _checkpoint()
 
+    result["complete"] = True
     return result
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=3)
+    # --round is required so a bare invocation cannot silently clobber a
+    # prior round's artifact via os.replace (ADVICE r4)
+    ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()

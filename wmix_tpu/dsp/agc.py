@@ -314,9 +314,22 @@ def _add_sat_w16(a, b):
 
 
 def _div_trunc(num, den):
-    q = jnp.abs(num.astype(jnp.int64)) // jnp.abs(den.astype(jnp.int64))
-    q = jnp.where((num < 0) ^ (den < 0), -q, q)
-    return q.astype(I32)
+    """C int32/int32 truncating division, exact on TPU.
+
+    The previous form (`abs(num.astype(int64)) // abs(den)`) was doubly
+    wrong on the production backend: without x64 the int64 request
+    silently truncates to int32, and XLA-TPU lowers full-range int32
+    `//` through an inexact float path — the root cause of the
+    PARITY_r04 int-chain spikes (max 4541 LSB on 7/64 streams, VERDICT
+    r4 weak #1).  The bit-serial core is exact for every operand
+    including INT32_MIN."""
+    from wmix_tpu.dsp.intops import div_u32_u32
+    num = jnp.asarray(num, I32)
+    den = jnp.asarray(den, I32)
+    na = jnp.abs(num).astype(U32)   # INT32_MIN -> 0x80000000, correct
+    da = jnp.abs(den).astype(U32)
+    q = div_u32_u32(na, da).astype(I32)
+    return jnp.where((num < 0) ^ (den < 0), -q, q)
 
 
 def _sqrt_local(inp):

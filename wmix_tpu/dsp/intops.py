@@ -37,11 +37,13 @@ def div_trunc(num, den):
 
 def div_w32_w16(num, den):
     """WebRtcSpl_DivW32W16 (division_operations.c): trunc division with a
-    zero-guard returning 0x7FFFFFFF."""
-    num = jnp.asarray(num, I32)
-    den = jnp.asarray(den, I32)
-    safe = jnp.where(den == 0, 1, den)
-    return jnp.where(den == 0, jnp.int32(0x7FFFFFFF), div_trunc(num, safe))
+    zero-guard returning 0x7FFFFFFF.
+
+    Routed through the exact bit-serial core: XLA-TPU lowers full-range
+    int32 `//` through an inexact float path (occasional off-by-one for
+    numerators beyond ~2^24), which broke VAD/NSX parity on-chip while
+    every CPU/x64 test stayed green (PARITY_r04 int-chain spikes)."""
+    return div_w32_w16_exact(num, den)
 
 
 def norm_w32(a):
