@@ -272,9 +272,14 @@ def main() -> None:
     if os.environ.get("BENCH_BATCH"):
         ladder = [int(b) for b in os.environ["BENCH_BATCH"].split(",")]
     else:
-        # headline batch first: its point (and the stage table) stream
-        # out before the riskier big-batch compiles start
-        ladder = [2048, 4096, 1024, 8192]
+        # headline batch first; then the batches that REUSE its
+        # shard-width executable (4096/8192 dispatch as 2048-wide
+        # shards, so they are compile-free once 2048 is built), and
+        # only then 1024, whose monolithic program is a fresh
+        # multi-minute compile — in round 4 it sat before 8192 and ate
+        # the wall budget, which is why BENCH_r04 recorded
+        # {"batch": 8192, "error": "budget"}
+        ladder = [2048, 4096, 8192, 1024]
 
     deadline = t_start + wall_s
     events = _run_streaming(ladder, k_pkgs, n_chunks, deadline, stages)
