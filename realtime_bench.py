@@ -82,19 +82,27 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+    out = os.path.join(_REPO, f"REALTIME_r{args.round:02d}.json")
     points = []
-    for b in (int(x) for x in args.batches.split(",")):
-        print(f"[realtime] batch {b}...", file=sys.stderr)
-        points.append(bench_ticks(b, args.ticks, args.warmup))
     result = {
         "metric": "stream_server_tick_latency_vs_20ms_budget",
         "backend": jax.default_backend(),
         "freq": 16000,
         "points": points,
     }
-    out = os.path.join(_REPO, f"REALTIME_r{args.round:02d}.json")
-    with open(out, "w") as f:
-        json.dump(result, f, indent=1)
+
+    def save() -> None:
+        # stream the artifact point by point so a wall-clock kill keeps
+        # completed batches (the round-3 parity lesson)
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f, indent=1)
+        os.replace(tmp, out)
+
+    for b in (int(x) for x in args.batches.split(",")):
+        print(f"[realtime] batch {b}...", file=sys.stderr)
+        points.append(bench_ticks(b, args.ticks, args.warmup))
+        save()
     print(json.dumps({"points": [
         {k: p[k] for k in ("batch", "p50_ms", "p95_ms", "max_ms",
                            "overruns")} for p in points],

@@ -450,6 +450,18 @@ class ShardedRecordChain:
         return tuple(jnp.concatenate([o[j] for o in outs], axis=1)
                      for j in range(3))
 
+    def step(self, mic_pkg, play_pkg):
+        """One 20 ms tick over the full batch as shard-width dispatches
+        (realtime mode; same executable-sharing property as run_chunk).
+        Mirrors RecordChain.step for StreamServer at B above the shard
+        width."""
+        outs = []
+        for i, ch in enumerate(self.chains):
+            lo, hi = i * self.shard_b, (i + 1) * self.shard_b
+            outs.append(ch.step(mic_pkg[lo:hi], play_pkg[lo:hi]))
+        return tuple(jnp.concatenate([o[j] for o in outs], axis=0)
+                     for j in range(3))
+
 
 def _normalize_sig(sig):
     """Replace per-block update_delay_idx with a placeholder: the chunked

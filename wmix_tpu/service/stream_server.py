@@ -30,12 +30,13 @@ Two serving shapes:
 """
 from __future__ import annotations
 
+import os
 import threading
 from typing import Dict, Optional
 
 import numpy as np
 
-from wmix_tpu.engine.chain import RecordChain
+from wmix_tpu.engine.chain import RecordChain, ShardedRecordChain
 
 
 class SlotClosed(Exception):
@@ -52,7 +53,16 @@ class StreamServer:
         self.capacity = capacity
         self.freq = freq
         self.pkg_len = freq // 1000 * 20
-        self.chain = RecordChain(capacity, freq, **chain_kw)
+        # above the shard width the monolithic chain program exceeds the
+        # TPU compile helper (round-3 ladder failure at B >= 4096);
+        # serve big capacities as shard-width dispatches that share one
+        # compiled executable (bitwise-identical streams)
+        shard_w = int(os.environ.get("WMIX_SHARD_W", "2048"))
+        if capacity > shard_w and capacity % shard_w == 0:
+            self.chain = ShardedRecordChain(
+                capacity, freq, shards=capacity // shard_w, **chain_kw)
+        else:
+            self.chain = RecordChain(capacity, freq, **chain_kw)
         self._free = list(range(capacity))[::-1]
         self._gen = [0] * capacity           # per-slot generation counter
         self._active = [False] * capacity
