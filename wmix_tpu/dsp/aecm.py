@@ -889,9 +889,14 @@ class AecmCore:
         hnl = np.zeros(PART_LEN1, np.int64)
         num_pos_coef = 0
         for i in range(PART_LEN1):
-            tmp32no1 = int(echo_est[i]) - int(self.echo_filt[i])
+            # aecm_core_c.c:455-456 — BOTH the subtraction and the *50
+            # product are int32 ops that wrap on loud echo estimates
+            # (|diff| > 2^31/50 ~ 42.9M); reproducing the wrap is what
+            # keeps long tonal scenes bit-exact (PARITY_r04 int-chain
+            # divergence root cause)
+            tmp32no1 = w32(int(echo_est[i]) - int(self.echo_filt[i]))
             self.echo_filt[i] = w32(int(self.echo_filt[i]) +
-                                    ((tmp32no1 * 50) >> 8))
+                                    (w32(tmp32no1 * 50) >> 8))
             zeros32 = norm_w32(int(self.echo_filt[i])) + 1
             zeros16 = norm_w16(sup_gain) + 1
             if zeros32 + zeros16 > 16:

@@ -647,10 +647,11 @@ def process_block(st, far64, near64, rand16, hist_pos, tot_count,
 
     t32no1 = (echo_est.astype(U32) -
               st["echo_filt"].astype(U32)).astype(I32)   # w32 sub
-    # (t * 50) >> 8 with a 64-bit product, decomposed for TPU (no i64):
-    # t = 256*(t>>8) + (t & 255)  ->  (t*50)>>8 == (t>>8)*50 +
-    # ((t&255)*50)>>8, exact for arithmetic-shift/floor semantics
-    inc = (t32no1 >> 8) * 50 + (((t32no1 & 255) * 50) >> 8)
+    # aecm_core_c.c:456 computes (t * 50) in int32, which WRAPS on loud
+    # echo estimates (|t| > 2^31/50); the int32 multiply below wraps
+    # identically, then >>8 is the C's arithmetic shift of the wrapped
+    # product (PARITY_r04 int-chain divergence root cause)
+    inc = (t32no1 * jnp.int32(50)) >> 8
     echo_filt = (st["echo_filt"].astype(U32) +
                  inc.astype(U32)).astype(I32)            # w32 add
     st["echo_filt"] = echo_filt
