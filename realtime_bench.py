@@ -1,15 +1,26 @@
-"""Real-time-mode evidence (VERDICT r2 missing #5): per-tick dispatch
-latency of the multi-stream engine vs the daemon's 20 ms heartbeat
-(src/wmixConf.h:112, src/wmix.c:1336-1345).
+"""Real-time-mode evidence (VERDICT r2 missing #5, r4 next #3): per-tick
+pump cost of the multi-stream engine vs the daemon's 20 ms heartbeat
+(src/wmixConf.h:112, src/wmix.c:1336-1345), plus end-to-end output
+latency.
 
-Runs StreamServer.tick() — one 20 ms package across B admitted streams
-per device dispatch — at production batch sizes on the real chip and
-records p50/p95/max tick latency plus overrun counts vs the 20 ms
-budget.  Client feeds happen outside the timed region (they run in
-client threads in production; the pump thread owns only the device
-step).  Writes REALTIME_r0N.json.
+The serving shape measured is StreamServer.tick_pipelined(): the pump
+issues one 20 ms package of work per heartbeat (gather + async device
+dispatch + async device->host copy + drain of completed ticks) and
+delivers outputs `depth` ticks later.  What the 20 ms budget governs is
+the PUMP work — the reference daemon likewise runs behind its DMA ring
+and 400 ms AEC far-end FIFO (platform/alsa/plat.h:19), so a bounded,
+recorded output latency is the honest realtime metric, not a blocking
+device round trip per tick (which on a tunneled TPU costs ~200 ms
+regardless of batch, REALTIME diag r5).
 
-Usage: python realtime_bench.py [--round N] [--batches 256,1024]
+The pump is PACED: each tick waits for its 20 ms boundary, then does
+its work; an overrun = pump work exceeding the 20 ms slot.  Output
+latency = feed(tick j) -> read_batch(tick j) wall time, measured per
+delivered tick.
+
+Usage: python realtime_bench.py --round N [--batches 256,1024,4096]
+       [--ticks 300] [--depth 12]
+Writes REALTIME_r0N.json.
 """
 from __future__ import annotations
 
@@ -24,8 +35,11 @@ import numpy as np
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
+TICK_S = 0.02
 
-def bench_ticks(batch: int, n_ticks: int, warmup: int) -> dict:
+
+def bench_ticks(batch: int, n_ticks: int, warmup: int,
+                depth: int) -> dict:
     import jax
     try:
         from wmix_tpu.engine.aec_pallas import _ensure_compile_cache
@@ -34,7 +48,6 @@ def bench_ticks(batch: int, n_ticks: int, warmup: int) -> dict:
     except Exception:
         pass
     from wmix_tpu.service.stream_server import StreamServer
-    from wmix_tpu.utils.trace import StepTimer
 
     freq = 16000
     pkg = freq // 1000 * 20
@@ -44,48 +57,90 @@ def bench_ticks(batch: int, n_ticks: int, warmup: int) -> dict:
     mics = (rng.randn(8, batch, pkg) * 3000).astype(np.int16)
     plays = (rng.randn(8, batch, pkg) * 5000).astype(np.int16)
 
-    def feed_all(i):
-        m, p = mics[i % 8], plays[i % 8]
-        for b, h in enumerate(handles):
-            srv.feed(h, m[b], p[b])
-
     t0 = time.time()
     for i in range(warmup):
-        feed_all(i)
-        srv.tick()
+        srv.feed_batch(handles, mics[i % 8], plays[i % 8])
+        srv.tick_pipelined(depth)
+    srv.flush_pipeline()
+    while srv.read_batch(handles) is not None:
+        pass
     warm_s = time.time() - t0
 
-    timer = StepTimer(budget_ms=20.0)
-    feed_ms = []
+    pump_ms, out_lat_ms = [], []
+    feed_t = []          # feed wall time per issued tick
+    delivered = 0
+    overruns = 0
+    next_t = time.perf_counter() + TICK_S
     for i in range(n_ticks):
-        tf = time.perf_counter()
-        feed_all(i)
-        feed_ms.append((time.perf_counter() - tf) * 1e3)
-        with timer.step():
-            srv.tick()
-    out = timer.summary()
-    out["batch"] = batch
-    out["warmup_ticks"] = warmup
-    out["warmup_s"] = round(warm_s, 1)
-    fs = sorted(feed_ms)
-    out["feed_p50_ms"] = round(fs[len(fs) // 2], 3)
-    out["feed_p95_ms"] = round(fs[int(len(fs) * 0.95)], 3)
-    return out
+        # paced heartbeat: wait for the tick boundary
+        now = time.perf_counter()
+        if now < next_t:
+            time.sleep(next_t - now)
+        next_t += TICK_S
+
+        feed_t.append(time.perf_counter())
+        srv.feed_batch(handles, mics[i % 8], plays[i % 8])
+        t1 = time.perf_counter()
+        srv.tick_pipelined(depth)
+        got = srv.read_batch(handles)
+        t2 = time.perf_counter()
+        work = (t2 - feed_t[-1]) * 1e3
+        pump_ms.append(work)
+        if work > TICK_S * 1e3:
+            overruns += 1
+        if got is not None:
+            out_lat_ms.append((t2 - feed_t[delivered]) * 1e3)
+            delivered += 1
+    # drain the tail so every issued tick is accounted for
+    srv.flush_pipeline()
+    while delivered < n_ticks:
+        got = srv.read_batch(handles)
+        if got is None:
+            break
+        out_lat_ms.append((time.perf_counter() -
+                           feed_t[delivered]) * 1e3)
+        delivered += 1
+
+    def pct(v, q):
+        s = sorted(v)
+        return round(s[min(len(s) - 1, int(len(s) * q))], 3)
+
+    return {
+        "batch": batch,
+        "depth": depth,
+        "n": n_ticks,
+        "budget_ms": TICK_S * 1e3,
+        "pump_p50_ms": pct(pump_ms, 0.5),
+        "pump_p95_ms": pct(pump_ms, 0.95),
+        "pump_max_ms": round(max(pump_ms), 3),
+        "overruns": overruns,
+        "delivered": delivered,
+        "output_latency_p50_ms": pct(out_lat_ms, 0.5) if out_lat_ms
+        else None,
+        "output_latency_p95_ms": pct(out_lat_ms, 0.95) if out_lat_ms
+        else None,
+        "output_latency_max_ms": round(max(out_lat_ms), 3)
+        if out_lat_ms else None,
+        "warmup_ticks": warmup,
+        "warmup_s": round(warm_s, 1),
+    }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=3)
-    ap.add_argument("--batches", default="256,1024")
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--batches", default="256,1024,4096")
     ap.add_argument("--ticks", type=int, default=300)
-    ap.add_argument("--warmup", type=int, default=12)
+    ap.add_argument("--warmup", type=int, default=30)
+    ap.add_argument("--depth", type=int, default=12)
     args = ap.parse_args()
 
     import jax
     out = os.path.join(_REPO, f"REALTIME_r{args.round:02d}.json")
     points = []
     result = {
-        "metric": "stream_server_tick_latency_vs_20ms_budget",
+        "metric": "stream_server_pump_latency_vs_20ms_budget",
+        "mode": "tick_pipelined",
         "backend": jax.default_backend(),
         "freq": 16000,
         "points": points,
@@ -101,11 +156,13 @@ def main() -> None:
 
     for b in (int(x) for x in args.batches.split(",")):
         print(f"[realtime] batch {b}...", file=sys.stderr)
-        points.append(bench_ticks(b, args.ticks, args.warmup))
+        points.append(bench_ticks(b, args.ticks, args.warmup,
+                                  args.depth))
         save()
     print(json.dumps({"points": [
-        {k: p[k] for k in ("batch", "p50_ms", "p95_ms", "max_ms",
-                           "overruns")} for p in points],
+        {k: p[k] for k in ("batch", "pump_p50_ms", "pump_p95_ms",
+                           "pump_max_ms", "overruns",
+                           "output_latency_p50_ms")} for p in points],
         "out": out}))
 
 

@@ -95,3 +95,79 @@ def test_slot_reuse_and_generation_guard():
     assert srv.read(h2) is not None
     with pytest.raises(RuntimeError):
         srv.open_stream()  # capacity exhausted
+
+
+def test_pipelined_fast_lane_matches_sync_tick():
+    """tick_pipelined + feed_batch/read_batch (the realtime fast lane)
+    must deliver byte-identical outputs, in order, to the blocking
+    tick() + feed()/read() path."""
+    freq = 16000
+    pkg = freq // 1000 * 20
+    B, n_ticks, depth = 4, 12, 3
+    rng = np.random.RandomState(7)
+    mics = (rng.randn(n_ticks, B, pkg) * 2500).astype(np.int16)
+    plays = (rng.randn(n_ticks, B, pkg) * 4000).astype(np.int16)
+
+    sync = StreamServer(B, freq)
+    hs = [sync.open_stream() for _ in range(B)]
+    want = []
+    for t in range(n_ticks):
+        for b, h in enumerate(hs):
+            sync.feed(h, mics[t, b], plays[t, b])
+        sync.tick()
+        want.append([sync.read(h) for h in hs])
+
+    pipe = StreamServer(B, freq)
+    hp = [pipe.open_stream() for _ in range(B)]
+    got = []
+    for t in range(n_ticks):
+        pipe.feed_batch(hp, mics[t], plays[t])
+        pipe.tick_pipelined(depth)
+        r = pipe.read_batch(hp)
+        if r is not None:
+            got.append(r)
+    assert len(got) == n_ticks - depth  # outputs lag by `depth`
+    pipe.flush_pipeline()
+    while True:
+        r = pipe.read_batch(hp)
+        if r is None:
+            break
+        got.append(r)
+    assert len(got) == n_ticks
+
+    for t, (o_blk, p8_blk, v_blk) in enumerate(got):
+        for b in range(B):
+            o, p8, v = want[t][b]
+            np.testing.assert_array_equal(o_blk[b], o, err_msg=f"t{t}b{b}")
+            np.testing.assert_array_equal(p8_blk[b], p8)
+            np.testing.assert_array_equal(v_blk[b], v)
+
+
+def test_mixed_feed_batch_and_feed_order_preserved():
+    """feed_batch blocks spill into per-slot queues when mixed with
+    feed(); package order per slot must survive the demotion."""
+    freq = 16000
+    pkg = freq // 1000 * 20
+    B = 2
+    rng = np.random.RandomState(3)
+    srv = StreamServer(B, freq)
+    hs = [srv.open_stream() for _ in range(B)]
+    blocks = (rng.randn(3, B, pkg) * 2000).astype(np.int16)
+    srv.feed_batch(hs, blocks[0])          # fast lane
+    srv.feed(hs[0], blocks[1][0])          # forces spill of block 0
+    srv.feed(hs[1], blocks[1][1])
+    srv.feed_batch(hs, blocks[2])          # queues non-empty: slow path
+
+    ref = StreamServer(B, freq)
+    hr = [ref.open_stream() for _ in range(B)]
+    for t in range(3):
+        for b in range(B):
+            ref.feed(hr[b], blocks[t][b])
+
+    for t in range(3):
+        srv.tick()
+        ref.tick()
+        for b in range(B):
+            got, want = srv.read(hs[b]), ref.read(hr[b])
+            np.testing.assert_array_equal(got[0], want[0],
+                                          err_msg=f"t{t}b{b}")
