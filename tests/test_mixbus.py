@@ -118,3 +118,55 @@ def test_has_data_and_reset():
     assert not bus.has_data().any()
     assert bus.head_off[1] == 0 and bus.tick[1] == 0
     assert bus.head_off[0] == 160  # untouched engines keep cursors
+
+
+def test_mix_waves_matches_sequential_mix():
+    """The fused S-wave dispatch (mix_waves) must leave the ring
+    byte-identical to S sequential mix() calls — same saturating add
+    order per engine."""
+    cfg = EngineConfig()
+    B, S = 5, 3
+    rng = np.random.RandomState(11)
+    pkg = cfg.frame_num
+    waves = rng.randint(-30000, 30000, (S, B, pkg, cfg.chn)).astype(
+        np.int16)
+    heads = rng.randint(0, cfg.ring_frames, (S, B)).astype(np.int64)
+    lens = rng.randint(1, pkg + 1, (S, B)).astype(np.int32)
+    rdces = rng.randint(1, 4, (S, B)).astype(np.int32)
+
+    seq = MixBus(B, cfg)
+    slots = np.arange(B, dtype=np.int32)
+    for s in range(S):
+        # mask to the per-engine valid length like the dense lane does
+        contribs = [waves[s, b, :lens[s, b]] for b in range(B)]
+        seq.mix(slots, heads[s], contribs, rdces[s])
+
+    dense = MixBus(B, cfg)
+    dense.mix_waves(heads, waves, lens, rdces)
+
+    np.testing.assert_array_equal(np.asarray(dense.ring),
+                                  np.asarray(seq.ring))
+
+
+def test_drain_async_pipeline_matches_blocking_drain():
+    cfg = EngineConfig()
+    B = 3
+    rng = np.random.RandomState(5)
+    pkg = cfg.frame_num
+    w = rng.randint(-2000, 2000, (1, B, pkg, cfg.chn)).astype(np.int16)
+    hd = np.zeros((1, B), np.int64)
+    ln = np.full((1, B), pkg, np.int32)
+    rd = np.ones((1, B), np.int32)
+
+    a, b = MixBus(B, cfg), MixBus(B, cfg)
+    outs_a, pend = [], []
+    outs_b = []
+    for t in range(6):
+        base = (t * pkg) % cfg.ring_frames
+        a.mix_waves(hd + base, w, ln, rd)
+        pend.append(a.drain_async(1))
+        b.mix_waves(hd + base, w, ln, rd)
+        outs_b.append(b.drain(1))
+    outs_a = [np.asarray(p) for p in pend]
+    for x, y in zip(outs_a, outs_b):
+        np.testing.assert_array_equal(x, y)

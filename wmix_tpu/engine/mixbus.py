@@ -36,8 +36,7 @@ I32 = jnp.int32
 I16_MIN, I16_MAX = -32768, 32767
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _mix_kernel(ring, heads, contrib, lens, rdce):
+def _mix_wave(ring, heads, contrib, lens, rdce):
     """ring [B,R,chn] i16; heads [B] i32 (frame cursor); contrib
     [B,T,chn] i16; lens [B] i32 (valid frames); rdce [B] i32."""
     B, R, chn = ring.shape
@@ -55,6 +54,25 @@ def _mix_kernel(ring, heads, contrib, lens, rdce):
         return ring_b.at[pos].set(mixed)
 
     return jax.vmap(one)(ring, heads, contrib, lens, rdce)
+
+
+_mix_kernel = partial(jax.jit, donate_argnums=(0,))(_mix_wave)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _mix_many_kernel(ring, heads, contribs, lens, rdces):
+    """S source-waves in ONE dispatch: contribs [S,B,T,chn], the rest
+    [S,B].  lax.scan preserves the per-wave sequential saturating
+    semantics (each wave saturates against the ring state the previous
+    wave left, src/wmix.c:1683-1691) while paying one launch instead of
+    S — the tunneled-TPU dispatch overhead is what bounds MIX_r05's
+    per-tick latency, not the arithmetic."""
+    def step(r, inputs):
+        h, c, ln, rd = inputs
+        return _mix_wave(r, h, c, ln, rd), None
+
+    ring, _ = jax.lax.scan(step, ring, (heads, contribs, lens, rdces))
+    return ring
 
 
 @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
@@ -133,12 +151,32 @@ class MixBus:
             offs += np.maximum(lens, 0)
         return (head_frames + offs) % R
 
+    def mix_waves(self, head_frames: np.ndarray, waves: np.ndarray,
+                  lens: np.ndarray, rdces: np.ndarray) -> None:
+        """Dense fast lane: S source-waves for ALL engines in ONE
+        device dispatch (the per-tick shape of a full deployment — every
+        engine's j-th source grouped into wave j, engines without one
+        riding along with len 0).
+
+        head_frames/lens/rdces: [S, B] int32; waves: [S, B, T, chn]
+        int16 with T <= ring frames.  Wave order is the mix order (the
+        saturating add sequence per engine)."""
+        waves = np.asarray(waves, np.int16)
+        assert waves.shape[2] <= self.R
+        self.ring = _mix_many_kernel(
+            self.ring,
+            jnp.asarray(np.asarray(head_frames, np.int32) % self.R),
+            jnp.asarray(waves),
+            jnp.asarray(lens, np.int32),
+            jnp.asarray(rdces, np.int32))
+
     # ----------------------------------------------------------- drain
 
-    def drain(self, n_pkgs: int = 1) -> np.ndarray:
-        """The play heartbeat: n_pkgs packages per engine, copied and
-        zeroed at the play cursor; cursors/ticks advance.  Returns
-        int16 [B, n_pkgs * frame_num, chn]."""
+    def drain_async(self, n_pkgs: int = 1):
+        """The play heartbeat without the device round trip: dispatches
+        the copy+zero and STARTS the device->host copy, returning the
+        device array — np.asarray() it a few ticks later (the realtime
+        pump pattern, service/stream_server.py tick_pipelined)."""
         cfg = self.cfg
         n_frames = n_pkgs * cfg.frame_num
         tails = (self.head_off % cfg.buff_size) // cfg.frame_size
@@ -147,7 +185,17 @@ class MixBus:
         f0 = tails + n_frames
         self.head_off = (f0 % self.R) * cfg.frame_size
         self.tick = (self.tick + n_pkgs * cfg.pkg_size) & 0xFFFFFFFF
-        return np.asarray(pcm)
+        copy = getattr(pcm, "copy_to_host_async", None)
+        if copy is not None:
+            copy()
+        return pcm
+
+    def drain(self, n_pkgs: int = 1) -> np.ndarray:
+        """The play heartbeat: n_pkgs packages per engine, copied and
+        zeroed at the play cursor; cursors/ticks advance.  Returns
+        int16 [B, n_pkgs * frame_num, chn] (blocking form of
+        drain_async)."""
+        return np.asarray(self.drain_async(n_pkgs))
 
     def has_data(self) -> np.ndarray:
         """[B] bool — per-engine idle detection input."""
