@@ -26,6 +26,11 @@ if "--cpu" in sys.argv:
 if "--x64" in sys.argv:
     import jax
     jax.config.update("jax_enable_x64", True)
+if "--cache" in sys.argv:
+    # persistent compile cache: the engine programs cost ~3 min each on
+    # the single-core XLA:CPU; bisection sweeps reuse them
+    from wmix_tpu.engine.aec_pallas import _ensure_compile_cache
+    _ensure_compile_cache()
 
 from parity import make_scene, oracle_outputs, engine_outputs  # noqa: E402
 
@@ -50,6 +55,7 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--x64", action="store_true")
+    ap.add_argument("--cache", action="store_true")
     args = ap.parse_args()
 
     freq = 16000

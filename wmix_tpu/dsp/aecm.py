@@ -931,9 +931,13 @@ class AecmCore:
                 tmp16no2 = int(ptr_dfa[i])
             tmp32no1 = tmp16no2 - tmp16no1
             tmp16no2 = w16(tmp32no1 >> 4)
-            tmp16no2 += tmp16no1
+            # int16 += in C: the smoothing add WRAPS (aecm_core_c.c:503)
+            tmp16no2 = w16(tmp16no2 + tmp16no1)
             zeros16 = norm_w16(tmp16no2)
-            if tmp16no2 and (-q_diff > zeros16):
+            # upstream quirk (aecm_core_c.c:505): BITWISE & between the
+            # int16 value and the bool — saturation fires only when
+            # tmp16no2 is ODD and the shift would overflow
+            if (tmp16no2 & 1) and (-q_diff > zeros16):
                 self.near_filt[i] = I16_MAX
             else:
                 self.near_filt[i] = (w16(tmp16no2 << -q_diff)

@@ -683,9 +683,12 @@ def process_block(st, far64, near64, rand16, hist_pos, tot_count,
     q_diff = jnp.where(cond, zeros16n - dfa_diff, 0)
     t16b = jnp.where(cond, dfa >> jnp.maximum(-q_diff, 0), dfa)
     t32no1n = t16b - t16a
-    t16no2 = wrap16(t32no1n >> 4) + t16a
+    # the C smoothing add is an int16 += and WRAPS (aecm_core_c.c:503)
+    t16no2 = wrap16(wrap16(t32no1n >> 4) + t16a)
     zeros16b = norm_w16(t16no2)
-    overflow = (t16no2 != 0) & ((-q_diff) > zeros16b)
+    # upstream quirk (aecm_core_c.c:505): `(tmp16no2) & (bool)` is a
+    # BITWISE and — saturation fires only when t16no2 is ODD
+    overflow = ((t16no2 & 1) != 0) & ((-q_diff) > zeros16b)
     nf_new = jnp.where(
         overflow, I16_MAX,
         jnp.where(q_diff < 0,
