@@ -112,3 +112,58 @@ def test_dd_pow_div_rate():
         != want.astype(np.float32)))
     assert rate < 5e-5, rate
     assert rate < max(native, 1e-7) / 20, (rate, native)
+
+
+def test_dd_div_rate():
+    """Correctly-rounded f32 quotient (the x86 divss form).  The
+    operand mix covers the chain's division domains: spectral ratios,
+    per-band normalizations, probability odds."""
+    r = np.random.RandomState(5)
+    n = 300000
+    a = ((r.rand(n) * 2 - 1) *
+         np.exp(r.uniform(-20, 20, n))).astype(np.float32)
+    b = ((r.rand(n) * 2 - 1) *
+         np.exp(r.uniform(-20, 20, n))).astype(np.float32)
+    got = np.asarray(jax.jit(ddmath.dd_div)(a, b))
+    want = a.astype(F64) / b.astype(F64)
+    assert _rate(got, want) < 1e-6
+    # zero/inf operands fall back to the native op, not NaN garbage
+    sp = np.asarray(jax.jit(ddmath.dd_div)(
+        np.float32([1.0, 0.0, 1.0, -1.0]),
+        np.float32([0.0, 1.0, np.inf, 0.0])))
+    assert np.isinf(sp[0]) and sp[1] == 0.0 and sp[2] == 0.0 \
+        and np.isinf(sp[3]) and sp[3] < 0
+
+
+def test_dd_sincos_rate():
+    """Comfort-noise angles: [0, 2pi) (aec_core.c:478-489); plus a
+    wider band to exercise quadrant selection."""
+    r = np.random.RandomState(6)
+    x = np.concatenate([
+        r.uniform(0, 2 * np.pi, 200000),
+        r.uniform(-50, 50, 100000)]).astype(np.float32)
+    got_s = np.asarray(jax.jit(ddmath.dd_sin)(x))
+    got_c = np.asarray(jax.jit(ddmath.dd_cos)(x))
+    rate_s = _rate(got_s, np.sin(x.astype(F64)))
+    rate_c = _rate(got_c, np.cos(x.astype(F64)))
+    native_s = _f32_native_rate(np.sin, x)
+    assert rate_s < 2e-5, rate_s
+    assert rate_c < 2e-5, rate_c
+    assert rate_s < max(native_s, 1e-7) / 20, (rate_s, native_s)
+
+
+def test_dd_pow_rate():
+    """powf(h_nl, od * curve): base in (0, 1], exponent in [1, 40]
+    (aec_core.c:1073-1077 OverdriveAndSuppress)."""
+    r = np.random.RandomState(7)
+    n = 100000
+    base = r.uniform(1e-6, 1.0, n).astype(np.float32)
+    expo = r.uniform(1.0, 40.0, n).astype(np.float32)
+    got = np.asarray(jax.jit(ddmath.dd_pow)(base, expo))
+    want = np.power(base.astype(F64), expo.astype(F64))
+    # compare only where the f64 result stays in the f32 normal range
+    # (subnormal outputs double-round through the scaling — the
+    # documented dd_exp corner)
+    ok = want > 2e-38
+    rate = float(np.mean(got[ok] != want[ok].astype(np.float32)))
+    assert rate < 5e-5, rate

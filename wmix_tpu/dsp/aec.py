@@ -170,16 +170,17 @@ def _wide():
 
 
 def _fpow(x, y):
-    """powf: correctly-rounded via double pow when available."""
-    return jnp.power(x.astype(_wide()), y.astype(_wide())).astype(F32)
+    """powf: glibc computes in double internally; dd emulation on
+    backends without f64 (floatops.fpowf)."""
+    return floatops.fpowf(x, y)
 
 
 def _fcos(x):
-    return jnp.cos(x.astype(_wide())).astype(F32)
+    return floatops.fcosf(x)
 
 
 def _fsin(x):
-    return jnp.sin(x.astype(_wide())).astype(F32)
+    return floatops.fsinf(x)
 
 
 # --------------------------------------------------------------------------
@@ -392,7 +393,7 @@ def process_block_kernel(dev: AecDev, xf130, xfw130, nearend, rand64,
     denom = x_pow + jnp.float32(1e-10)
     ef_re = gq(ef_re, denom, z)
     ef_im = gq(ef_im, denom, z)
-    abs_ef = jnp.sqrt(gm(ef_re, ef_re, z) + gm(ef_im, ef_im, z))
+    abs_ef = floatops.fsqrtf(gm(ef_re, ef_re, z) + gm(ef_im, ef_im, z))
     fac = gq(jnp.float32(err_th), abs_ef + jnp.float32(1e-10), z)
     big = abs_ef > err_th
     ef_re = jnp.where(big, ef_re * fac, ef_re)
@@ -477,9 +478,11 @@ def process_block_kernel(dev: AecDev, xf130, xfw130, nearend, rand64,
     # ---- NLP decision logic (aec_core.c:962-1050) ----
     pref_band = PREF_BAND_SIZE // mult
     min_pref = 4 // mult
-    h_xd_avg = seq_sum(cohxd[min_pref:min_pref + pref_band]) /         oc(float(pref_band), z)
+    h_xd_avg = gq(seq_sum(cohxd[min_pref:min_pref + pref_band]),
+                  oc(float(pref_band), z), z)
     h_xd_avg = jnp.float32(1.0) - h_xd_avg
-    h_de_avg = seq_sum(cohde[min_pref:min_pref + pref_band]) /         oc(float(pref_band), z)
+    h_de_avg = gq(seq_sum(cohde[min_pref:min_pref + pref_band]),
+                  oc(float(pref_band), z), z)
 
     h_nl_xd_avg_min = jnp.where(
         (h_xd_avg < jnp.float32(0.75)) & (h_xd_avg < dev.h_nl_xd_avg_min),
@@ -564,10 +567,10 @@ def process_block_kernel(dev: AecDev, xf130, xfw130, nearend, rand64,
     # ---- ComfortNoise (aec_core.c:462-547), single band ----
     rand = rand64.astype(F32) / jnp.float32(32768.0)
     tmp_ang = jnp.float32(6.28318530717959) * rand
-    noise = jnp.sqrt(noise_pow[1:])
+    noise = floatops.fsqrtf(noise_pow[1:])
     u_re = gm(noise, _fcos(tmp_ang), z)
     u_im = -gm(noise, _fsin(tmp_ang), z)
-    lam2 = jnp.sqrt(jnp.maximum(
+    lam2 = floatops.fsqrtf(jnp.maximum(
         jnp.float32(1.0) - gm(h_nl, h_nl, z), jnp.float32(0.0)))
     cn_re = jnp.concatenate([jnp.zeros(1, F32), u_re])
     cn_im = jnp.concatenate([jnp.zeros(1, F32),

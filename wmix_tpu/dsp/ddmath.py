@@ -236,6 +236,135 @@ def dd_sqrt(x):
     return jnp.where(ok, y, jnp.sqrt(x)).astype(F32)
 
 
+def dd_div(a, b):
+    """(float)((double)a / (double)b) — the correctly-rounded f32
+    quotient the reference's x86 `divss` produces.
+
+    Measured on this TPU backend: native f32 division disagrees with
+    the correctly-rounded result on ~35% of random operands (up to
+    2 ulp; XLA lowers it through reciprocal+refinement), which seeds
+    adaptive-state divergence in exact mode.  One dd refinement of the
+    native quotient brings the disagreement down to dd boundary cases
+    (< ~1e-7/call).  Non-finite/zero operands and overflowing
+    quotients fall back to the native op."""
+    a = jnp.asarray(a, F32)
+    b = jnp.asarray(b, F32)
+    q1 = a / b
+    ph, pl = _two_prod(q1, b)
+    rh, rl = _dd_add(a, jnp.zeros_like(a), -ph, -pl)
+    q = q1 + (rh + rl) / b
+    # |q1| or |b| beyond ~2^115 overflows the Dekker split; audio-path
+    # magnitudes never get there, but guard anyway
+    big = np.float32(2.0 ** 110)
+    ok = (jnp.isfinite(q1) & (jnp.abs(q1) < big) & (jnp.abs(b) < big) &
+          (q1 != 0))
+    return jnp.where(ok, q, q1).astype(F32)
+
+
+_PIO2 = _const(1.5707963267948966192313217)
+_TWO_OVER_PI = np.float32(0.6366197723675814)
+# sin: (-1)^k/(2k+1)!, k=1..8;  cos: (-1)^k/(2k)!, k=1..9
+_SIN_COEF = [_const((-1.0) ** k / float(math.factorial(2 * k + 1)))
+             for k in range(1, 9)]
+_COS_COEF = [_const((-1.0) ** k / float(math.factorial(2 * k)))
+             for k in range(1, 10)]
+
+
+def _dd_sincos(x):
+    """sin and cos of f32 x to dd intermediate precision, rounded to
+    f32.  Range reduction uses the 2-word pi/2, so the reduced-argument
+    error is ~n * 2^-49 where n = round(x/(pi/2)) — full dd accuracy
+    for the comfort-noise range [0, 2pi), and still ~2^-35 at |x|=1e4
+    (vs ~2^-12 for native f32 there)."""
+    x = jnp.asarray(x, F32)
+    n = jnp.round(x * _TWO_OVER_PI)
+    th, tl = _two_prod(n, _PIO2[0])
+    tl = tl + n * _PIO2[1]
+    rh, rl = _dd_add(x, jnp.zeros_like(x), -th, -tl)
+    r2h, r2l = _dd_mul(rh, rl, rh, rl)
+
+    def series(coefs):
+        ph = jnp.broadcast_to(coefs[-1][0], x.shape).astype(F32)
+        pl = jnp.broadcast_to(coefs[-1][1], x.shape).astype(F32)
+        for ch, cl in reversed(coefs[:-1]):
+            ph, pl = _dd_mul(ph, pl, r2h, r2l)
+            ph, pl = _dd_add(ph, pl, jnp.float32(ch), jnp.float32(cl))
+        ph, pl = _dd_mul(ph, pl, r2h, r2l)
+        ph, pl = _dd_add(ph, pl, np.float32(1.0), np.float32(0.0))
+        return ph, pl
+
+    sh, sl = _dd_mul(*series(_SIN_COEF), rh, rl)    # sin(r)
+    ch_, cl_ = series(_COS_COEF)                    # cos(r)
+    sin_r = sh + sl
+    cos_r = ch_ + cl_
+
+    q = jnp.mod(n.astype(jnp.int32), 4)
+    sin_x = jnp.where(q == 0, sin_r,
+                      jnp.where(q == 1, cos_r,
+                                jnp.where(q == 2, -sin_r, -cos_r)))
+    cos_x = jnp.where(q == 0, cos_r,
+                      jnp.where(q == 1, -sin_r,
+                                jnp.where(q == 2, -cos_r, sin_r)))
+    ok = jnp.isfinite(x)
+    return (jnp.where(ok, sin_x, jnp.sin(x)).astype(F32),
+            jnp.where(ok, cos_x, jnp.cos(x)).astype(F32))
+
+
+def dd_sin(x):
+    """(float)sin((double)x) (glibc sinf computes in double and rounds
+    once, sysdeps/ieee754/flt-32)."""
+    return _dd_sincos(x)[0]
+
+
+def dd_cos(x):
+    """(float)cos((double)x)."""
+    return _dd_sincos(x)[1]
+
+
+def _dd_log_pair(base):
+    """log(base) as a dd pair (base > 0 finite, the callers guard)."""
+    m, e = jnp.frexp(base)
+    lo_half = m < np.float32(0.70710678)
+    m = jnp.where(lo_half, m * np.float32(2.0), m)
+    e = jnp.where(lo_half, e - 1, e).astype(F32)
+    nh, nl = _two_sum(m, np.float32(-1.0))
+    dh, dl = _two_sum(m, np.float32(1.0))
+    sh, sl = _dd_div(nh, nl, dh, dl)
+    s2h, s2l = _dd_mul(sh, sl, sh, sl)
+    ph, pl = _ATH_COEF[-1]
+    ph = jnp.broadcast_to(ph, m.shape).astype(F32)
+    pl = jnp.broadcast_to(pl, m.shape).astype(F32)
+    for ch, cl in reversed(_ATH_COEF[:-1]):
+        ph, pl = _dd_mul(ph, pl, s2h, s2l)
+        ph, pl = _dd_add(ph, pl, jnp.float32(ch), jnp.float32(cl))
+    ph, pl = _dd_mul(ph, pl, s2h, s2l)
+    ph, pl = _dd_add(ph, pl, np.float32(1.0), np.float32(0.0))
+    lh, ll = _dd_mul(ph, pl, sh, sl)
+    lh, ll = _dd_add(lh, ll, lh, ll)
+    t1h, t1l = _two_prod(e, _LN2[0])
+    t1l = t1l + e * _LN2[1]
+    return _dd_add(t1h, t1l, lh, ll)
+
+
+def dd_pow(base, expo):
+    """(float)pow((double)base, (double)expo) via exp(expo * log base)
+    in dd (glibc powf computes in double internally).  base > 0 finite;
+    base <= 0 / non-finite falls back to the f32 op.  Subnormal results
+    share dd_exp's double-rounding corner."""
+    base = jnp.asarray(base, F32)
+    expo = jnp.asarray(expo, F32)
+    lh, ll = _dd_log_pair(base)
+    xh, xl = _dd_mul(lh, ll, expo, jnp.zeros_like(expo))
+    under = xh < np.float32(-104.0)
+    over = xh > np.float32(89.0)
+    eh, el = _dd_exp_pair(jnp.clip(xh, -104.0, 89.0), xl)
+    out = eh + el
+    out = jnp.where(under, jnp.float32(0.0), out)
+    out = jnp.where(over, jnp.float32(np.inf), out)
+    ok = (base > 0) & jnp.isfinite(base) & jnp.isfinite(expo)
+    return jnp.where(ok, out, jnp.power(base, expo)).astype(F32)
+
+
 def dd_pow_div(num, base, expo):
     """(float)(num / pow(base, expo)) with pow/div at dd precision
     (ns_core.c:1152-1153's double arithmetic)."""

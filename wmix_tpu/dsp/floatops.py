@@ -81,9 +81,20 @@ def gm(a, b, zero):
 def gq(a, b, zero):
     """Guarded float32 quotient: `a/b` with the simplifier's div<->mul
     reassociation (mul(div(a,b),c) -> div(a*c,b) and friends) blocked by
-    the trailing exact subtraction."""
+    the trailing exact subtraction.
+
+    On backends without f64 the native f32 division itself is the parity
+    hazard: XLA:TPU lowers `div` through reciprocal+refinement and
+    disagrees with the reference's correctly-rounded x86 `divss` on
+    ~35% of operands (<= 2 ulp, measured — see ddmath.dd_div).  Exact
+    mode therefore routes the quotient through the double-float
+    refinement there; on x64 backends the native op is already
+    correctly rounded."""
     if fast_mode():
         return a / b
+    if _use_dd():
+        from wmix_tpu.dsp import ddmath
+        return ddmath.dd_div(a, b) - zero
     return a / b - zero
 
 
@@ -141,6 +152,49 @@ def fsqrt_d(x):
         from wmix_tpu.dsp import ddmath
         return ddmath.dd_sqrt(x)
     return _via_double(jnp.sqrt, x)
+
+
+def fsqrtf(x):
+    """sqrtf(x): correctly rounded on x86 (sqrtss).  jnp.sqrt matches it
+    on x64 backends; TPU f32 sqrt disagrees on ~40% of operands
+    (measured), so exact mode routes through the dd refinement.
+    Identical result to fsqrt_d for f32 inputs (rounding f64 sqrt of an
+    f32 value to f32 is exactly f32 sqrt — sqrt double rounding is
+    benign), kept as a separate name to document the C call form."""
+    if fast_mode():
+        return jnp.sqrt(x)
+    if _use_dd():
+        from wmix_tpu.dsp import ddmath
+        return ddmath.dd_sqrt(x)
+    return jnp.sqrt(jnp.asarray(x, F32))
+
+
+def fcosf(x):
+    """cosf(x): glibc computes in double and rounds once
+    (sysdeps/ieee754/flt-32), so (float)cos((double)x) is the parity
+    form; dd emulation without hardware f64."""
+    if _use_dd():
+        from wmix_tpu.dsp import ddmath
+        return ddmath.dd_cos(x)
+    return _via_double(jnp.cos, jnp.asarray(x, F32))
+
+
+def fsinf(x):
+    """sinf(x) — see fcosf."""
+    if _use_dd():
+        from wmix_tpu.dsp import ddmath
+        return ddmath.dd_sin(x)
+    return _via_double(jnp.sin, jnp.asarray(x, F32))
+
+
+def fpowf(base, expo):
+    """powf — glibc computes in double internally."""
+    if _use_dd():
+        from wmix_tpu.dsp import ddmath
+        return ddmath.dd_pow(base, expo)
+    w = _wide_dtype()
+    return jnp.power(jnp.asarray(base, F32).astype(w),
+                     jnp.asarray(expo, F32).astype(w)).astype(F32)
 
 
 def fpow_div(num, base, expo):

@@ -240,8 +240,8 @@ def _fft(win, z):
     real = jnp.concatenate([a[0:1], a[2::2], a[1:2]])
     imag = jnp.concatenate([jnp.zeros(1, F32), a[3::2],
                             jnp.zeros(1, F32)])
-    mid = jnp.sqrt(gm(real[1:M - 1], real[1:M - 1], z) +
-                   gm(imag[1:M - 1], imag[1:M - 1], z)) + k(1.0)
+    mid = fsqrt_d(gm(real[1:M - 1], real[1:M - 1], z) +
+                  gm(imag[1:M - 1], imag[1:M - 1], z)) + k(1.0)
     magn = jnp.concatenate([jnp.abs(real[0:1]) + k(1.0), mid,
                             jnp.abs(real[M - 1:M]) + k(1.0)])
     return real, imag, magn
@@ -277,15 +277,17 @@ def _noise_estimation(st: NsState, magn, z):
         cnt1 = (ctr_s + 1).astype(F32)
         # FACTOR * 1.f / density parses as (FACTOR*1)/density: one divide
         delta = jnp.where(dens_s > jnp.float32(1.0),
-                          jnp.float32(FACTOR) / dens_s,
+                          gq(jnp.float32(FACTOR), dens_s, z),
                           jnp.full_like(dens_s, FACTOR))
-        up = lq_s + gm(QUANTILE, delta, z) / cnt1
-        dn = lq_s - gm(jnp.float32(1.0) - QUANTILE, delta, z) / cnt1
+        up = lq_s + gq(gm(QUANTILE, delta, z), cnt1, z)
+        dn = lq_s - gq(gm(jnp.float32(1.0) - QUANTILE, delta, z),
+                       cnt1, z)
         new_lq = jnp.where(lmagn > lq_s, up, dn)
         new_dens = jnp.where(
             jnp.abs(lmagn - new_lq) < WIDTH,
-            (gm(ctr_s.astype(F32), dens_s, z) +
-             jnp.float32(1.0) / (jnp.float32(2.0) * WIDTH)) / cnt1,
+            gq(gm(ctr_s.astype(F32), dens_s, z) +
+               gq(jnp.float32(1.0), oc(2.0 * float(WIDTH), z), z),
+               cnt1, z),
             dens_s)
         lq_rows.append(new_lq)
         dens_rows.append(new_dens)
@@ -309,9 +311,9 @@ def _noise_estimation(st: NsState, magn, z):
 # feature extraction (ns_core.c:293-634)
 # --------------------------------------------------------------------------
 
-def _hist_bin(value, bin_size):
+def _hist_bin(value, bin_size, z):
     ok = (value < HIST_PAR_EST * bin_size) & (value >= jnp.float32(0.0))
-    idx = (value / bin_size).astype(I32)
+    idx = gq(value, oc(float(bin_size), z), z).astype(I32)
     return ok, jnp.clip(idx, 0, HIST_PAR_EST - 1)
 
 
@@ -360,7 +362,7 @@ def _feature_parameter_extraction(st: NsState, z):
                          gq(avg_hist, num_hist.astype(F32), z), avg_hist)
     win_f = oc(float(MODEL_UPDATE_WINDOW), z)
     avg_compl = gq(avg_compl, win_f, z)
-    avg_sq = avg_sq / win_f
+    avg_sq = gq(avg_sq, win_f, z)
     fluct_lrt = avg_sq - gm(avg_hist, avg_compl, z)
 
     low_fluct = fluct_lrt < THRES_FLUCT_LRT
@@ -396,9 +398,9 @@ def _feature_parameter_extraction(st: NsState, z):
     pm = _set1(pm, 0, thr_lrt)
     pm = _set1(pm, 1, thr_flat)
     pm = _set1(pm, 3, thr_diff)
-    pm = _set1(pm, 4, jnp.float32(1.0) / feature_sum)
-    pm = _set1(pm, 5, use_flat.astype(F32) / feature_sum)
-    pm = _set1(pm, 6, use_diff.astype(F32) / feature_sum)
+    pm = _set1(pm, 4, gq(jnp.float32(1.0), feature_sum, z))
+    pm = _set1(pm, 5, gq(use_flat.astype(F32), feature_sum, z))
+    pm = _set1(pm, 6, gq(use_diff.astype(F32), feature_sum, z))
     return st._replace(
         prior_model=pm,
         hist_lrt=jnp.zeros_like(st.hist_lrt),
@@ -412,32 +414,32 @@ def _feature_update(st: NsState, magn, M: int, z=None):
     # return cannot trigger
     den = gq(st.sum_magn - magn[0], oc(float(M), z), z)
     num = gq(seq_sum(flog(magn[1:])), oc(float(M), z), z)
-    spectral_tmp = fexp(num) / den
+    spectral_tmp = gq(fexp(num), den, z)
     fd = st.feature_data
     fd = _set1(fd, 0, fd[0] + gm(SPECT_FL_TAVG, spectral_tmp - fd[0], z))
 
     # ComputeSpectralDifference (:595-634)
     mf = oc(float(M), z)
-    avg_pause = seq_sum(st.magn_avg_pause) / mf
-    avg_magn = st.sum_magn / mf
+    avg_pause = gq(seq_sum(st.magn_avg_pause), mf, z)
+    avg_magn = gq(st.sum_magn, mf, z)
     dm = magn - avg_magn
     dp = st.magn_avg_pause - avg_pause
     cov, var_pause, var_magn = seq_sum_multi(dm * dp, dp * dp, dm * dm)
-    cov = cov / mf
-    var_pause = var_pause / mf
-    var_magn = var_magn / mf
+    cov = gq(cov, mf, z)
+    var_pause = gq(var_pause, mf, z)
+    var_magn = gq(var_magn, mf, z)
     fd = _set1(fd, 6, fd[6] + st.signal_energy)
     k = _K(z)
     avg_diff = var_magn - gq(gm(cov, cov, z), var_pause + k(1e-4), z)
-    avg_diff = avg_diff / (fd[5] + k(1e-4))
+    avg_diff = gq(avg_diff, fd[5] + k(1e-4), z)
     fd = _set1(fd, 4, fd[4] + gm(SPECT_DIFF_TAVG, avg_diff - fd[4], z))
     st = st._replace(feature_data=fd)
 
     # histogram bookkeeping; modelUpdatePars[0] == 2 -> always on
     countdown = st.update_countdown - 1
-    ok_l, i_l = _hist_bin(fd[3], BIN_SIZE_LRT)
-    ok_f, i_f = _hist_bin(fd[0], BIN_SIZE_SPEC_FLAT)
-    ok_d, i_d = _hist_bin(fd[4], BIN_SIZE_SPEC_DIFF)
+    ok_l, i_l = _hist_bin(fd[3], BIN_SIZE_LRT, z)
+    ok_f, i_f = _hist_bin(fd[0], BIN_SIZE_SPEC_FLAT, z)
+    ok_d, i_d = _hist_bin(fd[4], BIN_SIZE_SPEC_DIFF, z)
     update_hist = countdown > 0
     st_hist = st._replace(
         hist_lrt=_hist_add(st.hist_lrt, i_l,
@@ -451,7 +453,8 @@ def _feature_update(st: NsState, magn, M: int, z=None):
     extracted = _feature_parameter_extraction(st_hist, z)
     fd2 = extracted.feature_data
     z2 = guard_zero(fd2)
-    fd2 = _set1(fd2, 6, fd2[6] / oc(float(MODEL_UPDATE_WINDOW), z2))
+    fd2 = _set1(fd2, 6, gq(fd2[6], oc(float(MODEL_UPDATE_WINDOW), z2),
+                           z2))
     fd2 = _set1(fd2, 5, jnp.float32(0.5) * (fd2[6] + fd2[5]))
     # note: featureData[6] scaling happens before [5], then [6] reset
     fd3 = _set1(fd2, 6, jnp.float32(0.0))
@@ -470,11 +473,11 @@ def _speech_noise_prob(st: NsState, snr_prior, snr_post, M: int,
     k = _K(z)
     one = k(1.0)
     t1 = one + jnp.float32(2.0) * snr_prior
-    t2 = gm(jnp.float32(2.0), snr_prior, z) / (t1 + k(1e-4))
+    t2 = gq(gm(jnp.float32(2.0), snr_prior, z), t1 + k(1e-4), z)
     bessel = gm(snr_post + one, t2, z)
     lrt = st.log_lrt_time_avg
     lrt = lrt + LRT_TAVG * ((bessel - flog(t1)) - lrt)
-    ksum = seq_sum(lrt) / oc(float(M), z)
+    ksum = gq(seq_sum(lrt), oc(float(M), z), z)
     fd = _set1(st.feature_data, 3, ksum)
 
     thr0 = st.prior_model[0]
@@ -505,9 +508,9 @@ def _speech_noise_prob(st: NsState, snr_prior, snr_post, M: int,
     prior = jnp.minimum(prior, one)
     prior = jnp.maximum(prior, jnp.float32(0.01))
 
-    gain_prior = (one - prior) / (prior + k(1e-4))
+    gain_prior = gq(one - prior, prior + k(1e-4), z)
     inv_lrt = gm(gain_prior, fexp(-lrt), z)
-    prob = one / (one + inv_lrt)
+    prob = gq(one, one + inv_lrt, z)
     return st._replace(log_lrt_time_avg=lrt, feature_data=fd,
                        prior_speech_prob=prior, speech_prob=prob)
 
@@ -559,7 +562,7 @@ def _analyze_active(st: NsState, win, fs, B, A, M, z):
 
     e_terms = gm(real[:M], real[:M], z) + gm(imag[:M], imag[:M], z)
     signal_energy, sum_magn = seq_sum_multi(e_terms, magn)
-    signal_energy = signal_energy / oc(float(M), z)
+    signal_energy = gq(signal_energy, oc(float(M), z), z)
     st = st._replace(signal_energy=signal_energy, sum_magn=sum_magn,
                      block_ind=block_ind)
 
@@ -587,26 +590,26 @@ def _analyze_active(st: NsState, win, fs, B, A, M, z):
     t1 = oc(t1_np, z)
     t2 = (gm(jnp.float32(sum_log_i_sq), sum_log_magn, z) -
           gm(jnp.float32(sum_log_i), sum_log_il, z))
-    t3 = t2 / t1
+    t3 = gq(t2, t1, z)
     t3 = jnp.maximum(t3, jnp.float32(0.0))
     pnum = st.pink_noise_numerator + t3
     t2b = gm(jnp.float32(sum_log_i), sum_log_magn, z)
     t2b = t2b - gm(jnp.float32(float(M - K_START_BAND)), sum_log_il, z)
-    t3b = t2b / t1
+    t3b = gq(t2b, t1, z)
     t3b = jnp.clip(t3b, jnp.float32(0.0), jnp.float32(1.0))
     pexp = st.pink_noise_exp + t3b
 
     bi1 = (block_ind + 1).astype(F32)
-    param_num = fexp(pnum / bi1) * bi1
-    param_exp = pexp / bi1
+    param_num = fexp(gq(pnum, bi1, z)) * bi1
+    param_exp = gq(pexp, bi1, z)
     use_band = jnp.maximum(jnp.arange(M), K_START_BAND).astype(F32)
     pnoise = jnp.where(pexp == jnp.float32(0.0),
                        jnp.broadcast_to(wn, (M,)),
                        fpow_div(param_num, use_band, param_exp))
     noise_s = gm(noise, block_ind.astype(F32), z)
     tmp2 = gm(pnoise, (END_STARTUP_SHORT - block_ind).astype(F32), z)
-    noise_s = noise_s + tmp2 / bi1
-    noise_s = noise_s / oc(float(END_STARTUP_SHORT), z)
+    noise_s = noise_s + gq(tmp2, bi1, z)
+    noise_s = gq(noise_s, oc(float(END_STARTUP_SHORT), z), z)
 
     noise = jnp.where(in_short, noise_s, noise)
     st = st._replace(
@@ -618,7 +621,8 @@ def _analyze_active(st: NsState, win, fs, B, A, M, z):
 
     # featureData[5] average signal energy during startup (:1165-1169)
     fd = st.feature_data
-    fd5 = (gm(fd[5], block_ind.astype(F32), z) + signal_energy) / bi1
+    fd5 = gq(gm(fd[5], block_ind.astype(F32), z) + signal_energy,
+             bi1, z)
     fd = _set1(fd, 5, jnp.where(block_ind < END_STARTUP_LONG, fd5, fd[5]))
     st = st._replace(feature_data=fd)
 
@@ -701,18 +705,18 @@ def _process_active(st: NsState, win, energy1, fs, B, A, M, num_bands,
                     gq(magn, st.noise + k(1e-4), z) - one,
                     jnp.float32(0.0))
     snr_prior = gm(DD_PR_SNR, prev_stsa, z) + gm(one - DD_PR_SNR, cur, z)
-    filt = snr_prior / (OVERDRIVE + snr_prior)
+    filt = gq(snr_prior, OVERDRIVE + snr_prior, z)
     filt = jnp.clip(filt, DENOISE_BOUND, one)
 
     # startup blend (:1285-1302)
-    filt_tmp = (init_est - gm(OVERDRIVE, st.parametric_noise, z)) / \
-        (init_est + k(1e-4))
+    filt_tmp = gq(init_est - gm(OVERDRIVE, st.parametric_noise, z),
+                  init_est + k(1e-4), z)
     filt_tmp = jnp.clip(filt_tmp, DENOISE_BOUND, one)
     bi = st.block_ind.astype(F32)
-    blended = (gm(filt, bi, z) +
-               gm(filt_tmp,
-                  (END_STARTUP_SHORT - st.block_ind).astype(F32), z)) / \
-        oc(float(END_STARTUP_SHORT), z)
+    blended = gq(gm(filt, bi, z) +
+                 gm(filt_tmp,
+                    (END_STARTUP_SHORT - st.block_ind).astype(F32), z),
+                 oc(float(END_STARTUP_SHORT), z), z)
     filt = jnp.where(in_short, blended, filt)
 
     st = st._replace(smooth=filt, magn_prev_process=magn,
@@ -727,11 +731,11 @@ def _process_active(st: NsState, win, energy1, fs, B, A, M, num_bands,
     factor = one
     if GAINMAP == 1:
         energy2 = seq_sum(win_data * win_data)
-        gain = fsqrt_d(energy2 / (energy1 + one))
+        gain = fsqrt_d(gq(energy2, energy1 + one, z))
         f1v = one + gm(jnp.float32(1.3), gain - B_LIM, z)
         factor1 = jnp.where(
             gain > B_LIM,
-            jnp.where(gm(gain, f1v, z) > one, one / gain, f1v),
+            jnp.where(gm(gain, f1v, z) > one, gq(one, gain, z), f1v),
             one)
         g2 = jnp.where(gain <= DENOISE_BOUND, DENOISE_BOUND, gain)
         factor2 = jnp.where(gain < B_LIM,
