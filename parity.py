@@ -240,7 +240,12 @@ STAGES = {
 }
 
 
-def run(round_no: int, quick: bool, save=None) -> dict:
+def run(round_no: int, quick: bool, save=None, only=None,
+        base=None) -> dict:
+    """only: restrict to a set of config names (None = all).
+    base: prior artifact dict to merge into — configs re-measured here
+    replace the old entries; everything else (other configs, analysis)
+    is preserved, so a targeted re-measurement keeps the full record."""
     freq = 16000
     if quick:
         B, seconds = 8, 10
@@ -281,6 +286,15 @@ def run(round_no: int, quick: bool, save=None) -> dict:
         "expected_configs": expected,
         "configs": {},
     }
+    if base:
+        # targeted re-measurement: start from the prior artifact so
+        # configs not in `only` (and the analysis narrative) survive
+        result["configs"] = dict(base.get("configs", {}))
+        if "analysis" in base:
+            result["analysis"] = base["analysis"]
+
+    def want_cfg(name: str) -> bool:
+        return only is None or name in only
 
     def _checkpoint():
         # stream the artifact to disk config by config so a wall-clock
@@ -297,7 +311,8 @@ def run(round_no: int, quick: bool, save=None) -> dict:
     # full chain with the integer NSX + AECM backends (the reference's
     # src/webrtc.c:173,512 switches), int32 arithmetic end to end, so
     # TPU == C bitwise.
-    if _ob.available(1, freq, "intdsp"):
+    if _ob.available(1, freq, "intdsp") and \
+            want_cfg("int_chain_nsx_aecm"):
         print(f"[parity] int chain (NSX+AECM): B={B}, {seconds}s",
               file=sys.stderr)
         want_i = oracle_outputs(plays, mics, freq, FULL, variant="intdsp")
@@ -310,7 +325,11 @@ def run(round_no: int, quick: bool, save=None) -> dict:
         print("[parity] intdsp oracle missing — run "
               "oracle/build_oracle.sh", file=sys.stderr)
 
-    want = oracle_outputs(plays, mics, freq, FULL)
+    want = None
+    if only is None or {"full_chain", "full_chain_exact_dd",
+                        "full_chain_no_pallas",
+                        "pallas_vs_jaxfast"} & only:
+        want = oracle_outputs(plays, mics, freq, FULL)
 
     # North-star config #2: the float EXACT mode without hardware f64.
     # WMIX_EXACT=1 keeps the guarded f32 forms and routes
@@ -318,7 +337,7 @@ def run(round_no: int, quick: bool, save=None) -> dict:
     # (dsp/ddmath.py) — the TPU answer to the reference's
     # (float)(double op) libm calls (VERDICT r3 next #3).  Pallas
     # auto-disables under exact mode (aec_pallas.pallas_enabled).
-    if not jax.config.jax_enable_x64:
+    if not jax.config.jax_enable_x64 and want_cfg("full_chain_exact_dd"):
         os.environ["WMIX_EXACT"] = "1"
         try:
             print("[parity] full chain, WMIX_EXACT=1 "
@@ -331,14 +350,18 @@ def run(round_no: int, quick: bool, save=None) -> dict:
         _checkpoint()
 
     # headline: full chain, production path
-    print(f"[parity] full chain: B={B}, {seconds}s, backend={backend}, "
-          f"pallas={result['pallas']}", file=sys.stderr)
-    got = engine_outputs(plays, mics, freq, FULL)
-    result["configs"]["full_chain"] = error_stats(got, want, freq)
-    _checkpoint()
+    got = None
+    if want_cfg("full_chain"):
+        print(f"[parity] full chain: B={B}, {seconds}s, "
+              f"backend={backend}, pallas={result['pallas']}",
+              file=sys.stderr)
+        got = engine_outputs(plays, mics, freq, FULL)
+        result["configs"]["full_chain"] = error_stats(got, want, freq)
+        _checkpoint()
 
     # attribution A: pallas off (fast-jax AEC path), same inputs
-    if result["pallas"]:
+    if result["pallas"] and got is not None and \
+            want_cfg("full_chain_no_pallas"):
         os.environ["WMIX_PALLAS"] = "0"
         try:
             print("[parity] full chain, WMIX_PALLAS=0", file=sys.stderr)
@@ -352,9 +375,12 @@ def run(round_no: int, quick: bool, save=None) -> dict:
         _checkpoint()
 
     # attribution B: per-stage isolation
-    ns2 = stage_s * freq
-    p2, m2, _ = build_streams(stage_b, ns2, freq)
-    for name, flags in STAGES.items():
+    stage_names = [nm for nm in STAGES if want_cfg(nm)]
+    if stage_names:
+        ns2 = stage_s * freq
+        p2, m2, _ = build_streams(stage_b, ns2, freq)
+    for name in stage_names:
+        flags = STAGES[name]
         print(f"[parity] stage {name}: B={stage_b}, {stage_s}s",
               file=sys.stderr)
         w = oracle_outputs(p2, m2, freq, flags)
@@ -362,7 +388,10 @@ def run(round_no: int, quick: bool, save=None) -> dict:
         result["configs"][name] = error_stats(g, w, freq)
         _checkpoint()
 
-    result["complete"] = True
+    # a targeted (--configs) run is complete only if it started from a
+    # complete base artifact — it measured a subset by design
+    result["complete"] = only is None or bool(base and
+                                              base.get("complete"))
     return result
 
 
@@ -373,9 +402,19 @@ def main() -> None:
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--configs", default=None,
+                    help="comma list: re-measure only these configs")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge into the existing artifact (keep "
+                         "configs not re-measured and the analysis)")
     args = ap.parse_args()
     out = args.out or os.path.join(
         _REPO, f"PARITY_r{args.round:02d}.json")
+    only = set(args.configs.split(",")) if args.configs else None
+    base = None
+    if args.merge and os.path.exists(out):
+        with open(out) as f:
+            base = json.load(f)
 
     def save(result: dict) -> None:
         tmp = out + ".tmp"
@@ -383,14 +422,15 @@ def main() -> None:
             json.dump(result, f, indent=1)
         os.replace(tmp, out)
 
-    result = run(args.round, args.quick, save=save)
+    result = run(args.round, args.quick, save=save, only=only,
+                 base=base)
     save(result)
-    full = result["configs"]["full_chain"]
-    print(json.dumps({
-        "headline": f"max |err| {full['max_lsb']} LSB, "
-                    f"p99.9 {full['p999_lsb']} LSB, "
-                    f"{full['pct_within_1lsb']}% within 1 LSB",
-        "out": out}))
+    full = result["configs"].get("full_chain")
+    head = (f"max |err| {full['max_lsb']} LSB, "
+            f"p99.9 {full['p999_lsb']} LSB, "
+            f"{full['pct_within_1lsb']}% within 1 LSB" if full
+            else f"configs: {sorted(result['configs'])}")
+    print(json.dumps({"headline": head, "out": out}))
 
 
 if __name__ == "__main__":
