@@ -39,7 +39,7 @@ TICK_S = 0.02
 
 
 def bench_ticks(batch: int, n_ticks: int, warmup: int,
-                depth: int) -> dict:
+                depth: int, drain: str = "thread") -> dict:
     import jax
     try:
         from wmix_tpu.engine.aec_pallas import _ensure_compile_cache
@@ -52,6 +52,8 @@ def bench_ticks(batch: int, n_ticks: int, warmup: int,
     freq = 16000
     pkg = freq // 1000 * 20
     srv = StreamServer(batch, freq)
+    if drain == "thread":
+        srv.start_drain_thread()
     handles = [srv.open_stream() for _ in range(batch)]
     rng = np.random.RandomState(0)
     mics = (rng.randn(8, batch, pkg) * 3000).astype(np.int16)
@@ -133,6 +135,8 @@ def main() -> None:
     ap.add_argument("--ticks", type=int, default=300)
     ap.add_argument("--warmup", type=int, default=30)
     ap.add_argument("--depth", type=int, default=12)
+    ap.add_argument("--drain", default="thread",
+                    choices=("thread", "inline"))
     args = ap.parse_args()
 
     import jax
@@ -141,6 +145,7 @@ def main() -> None:
     result = {
         "metric": "stream_server_pump_latency_vs_20ms_budget",
         "mode": "tick_pipelined",
+        "drain": args.drain,
         "backend": jax.default_backend(),
         "freq": 16000,
         "points": points,
@@ -157,7 +162,7 @@ def main() -> None:
     for b in (int(x) for x in args.batches.split(",")):
         print(f"[realtime] batch {b}...", file=sys.stderr)
         points.append(bench_ticks(b, args.ticks, args.warmup,
-                                  args.depth))
+                                  args.depth, args.drain))
         save()
     print(json.dumps({"points": [
         {k: p[k] for k in ("batch", "pump_p50_ms", "pump_p95_ms",

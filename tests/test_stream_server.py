@@ -171,3 +171,53 @@ def test_mixed_feed_batch_and_feed_order_preserved():
             got, want = srv.read(hs[b]), ref.read(hr[b])
             np.testing.assert_array_equal(got[0], want[0],
                                           err_msg=f"t{t}b{b}")
+
+
+def test_drain_thread_matches_inline_drain():
+    """start_drain_thread(): outputs must be identical and in order vs
+    the inline-drain pipelined path — the drainer only moves the
+    device->host fetch off the pump thread."""
+    freq = 16000
+    pkg = freq // 1000 * 20
+    B, n_ticks, depth = 4, 12, 3
+    rng = np.random.RandomState(11)
+    mics = (rng.randn(n_ticks, B, pkg) * 2500).astype(np.int16)
+    plays = (rng.randn(n_ticks, B, pkg) * 4000).astype(np.int16)
+
+    inline = StreamServer(B, freq)
+    hi = [inline.open_stream() for _ in range(B)]
+    want = []
+    for t in range(n_ticks):
+        inline.feed_batch(hi, mics[t], plays[t])
+        inline.tick_pipelined(depth)
+    inline.flush_pipeline()
+    while True:
+        r = inline.read_batch(hi)
+        if r is None:
+            break
+        want.append(r)
+    assert len(want) == n_ticks
+
+    threaded = StreamServer(B, freq)
+    ht = [threaded.open_stream() for _ in range(B)]
+    threaded.start_drain_thread()
+    got = []
+    for t in range(n_ticks):
+        threaded.feed_batch(ht, mics[t], plays[t])
+        threaded.tick_pipelined(depth)
+        r = threaded.read_batch(ht)
+        if r is not None:
+            got.append(r)
+    threaded.flush_pipeline()
+    while True:
+        r = threaded.read_batch(ht)
+        if r is None:
+            break
+        got.append(r)
+    threaded.stop_drain_thread()
+    assert len(got) == n_ticks
+
+    for t in range(n_ticks):
+        for j in range(3):
+            np.testing.assert_array_equal(got[t][j], want[t][j],
+                                          err_msg=f"tick {t} part {j}")

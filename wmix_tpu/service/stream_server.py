@@ -94,6 +94,13 @@ class StreamServer:
         # pipelined realtime mode: in-flight (fed, device outputs)
         # awaiting their async device->host copies (tick_pipelined)
         self._inflight: deque = deque()
+        # optional background drainer (start_drain_thread): moves the
+        # device->host fetch + scatter OFF the pump thread, so pump
+        # work = gather + async dispatch only
+        self._drainer: Optional[threading.Thread] = None
+        self._drain_cv = threading.Condition()
+        self._drain_stop = False
+        self._drain_busy = False
         # whole-batch fast lane: when every slot is fed exactly once per
         # tick in slot order (the capture-DMA shape), packages travel as
         # [B, pkg] blocks and never touch per-slot Python queues; mixed
@@ -188,8 +195,14 @@ class StreamServer:
             if (self._pending_pkgs == 0 and
                     slots.shape[0] == self.capacity and
                     np.array_equal(slots, self._slots_all)):
-                # capture-DMA fast lane: the whole batch in slot order
-                self._block_q.append((mic_block, play_block))
+                # capture-DMA fast lane: the whole batch in slot order.
+                # Start the host->device transfer NOW (device_put is
+                # async) so it overlaps the rest of the tick instead of
+                # serializing inside the jit dispatch — on a tunneled
+                # device the input copy is the pump's largest cost.
+                import jax
+                mic_d, play_d = jax.device_put((mic_block, play_block))
+                self._block_q.append((mic_d, play_d))
                 return
             self._spill_blocks_locked()
             for i in range(slots.shape[0]):
@@ -203,6 +216,8 @@ class StreamServer:
         path for mixed feed()/feed_batch() use; preserves order)."""
         while self._block_q:
             mic_b, play_b = self._block_q.popleft()
+            # fast-lane blocks live on the device; per-slot queues are host
+            mic_b, play_b = np.asarray(mic_b), np.asarray(play_b)
             for s in range(self.capacity):
                 if self._active[s]:
                     self._mic_in[s].append(mic_b[s])
@@ -251,12 +266,19 @@ class StreamServer:
 
     # -- device pump ----------------------------------------------------
 
+    def _gather_one(self):
+        """One tick's input: (mic [B, pkg], play [B, pkg], fed).  The
+        fast lane hands back the staged device block as-is — no [None]
+        wrap, so the pump dispatches zero extra device ops."""
+        with self._lock:
+            if self._block_q and self._pending_pkgs == 0:
+                mic_b, play_b = self._block_q.popleft()
+                return mic_b, play_b, self._fed_all
+        mic, play, fed = self._gather(1)
+        return mic[0], play[0], fed
+
     def _gather(self, n: int):
         with self._lock:
-            if self._block_q and self._pending_pkgs == 0 and n == 1:
-                # fast lane: one whole-batch block IS the tick's input
-                mic_b, play_b = self._block_q.popleft()
-                return mic_b[None], play_b[None], self._fed_all
             self._spill_blocks_locked()
             mic = np.zeros((n, self.capacity, self.pkg_len), np.int16)
             play = np.zeros_like(mic)
@@ -303,8 +325,8 @@ class StreamServer:
         delivers nothing, src/wmix.c:608-611).  Must be called from ONE
         pump thread — the chain state is owned by the caller."""
         self._apply_pending_resets()
-        mic, play, fed = self._gather(1)
-        origin, pkg8k, vad = self.chain.step(mic[0], play[0])
+        mic, play, fed = self._gather_one()
+        origin, pkg8k, vad = self.chain.step(mic, play)
         self._scatter(fed, np.asarray(origin)[None],
                       np.asarray(pkg8k)[None], np.asarray(vad)[None])
 
@@ -317,15 +339,67 @@ class StreamServer:
         dispatch + drain; end-to-end output latency = depth ticks +
         residual fetch.  Call flush_pipeline() to drain at shutdown."""
         self._apply_pending_resets()
-        mic, play, fed = self._gather(1)
-        out = self.chain.step(mic[0], play[0])
+        mic, play, fed = self._gather_one()
+        out = self.chain.step(mic, play)
         for a in out:
             copy = getattr(a, "copy_to_host_async", None)
             if copy is not None:
                 copy()
+        if self._drainer is not None:
+            with self._drain_cv:
+                self._inflight.append((fed, out))
+                self._drain_cv.notify()
+                # backpressure: a drainer that can't keep up means the
+                # device (or the tunnel) can't sustain the tick rate —
+                # surface that as pump time, not unbounded memory
+                while len(self._inflight) > 2 * depth:
+                    self._drain_cv.wait(0.005)
+            return
         self._inflight.append((fed, out))
         while len(self._inflight) > depth:
             self._drain_one()
+
+    def start_drain_thread(self) -> None:
+        """Move output delivery off the pump thread: a daemon thread
+        blocks on each in-flight tick's device->host copies and
+        scatters them, so tick_pipelined's own work is gather + async
+        dispatch + async copy issue only.  The drainer touches output
+        arrays and the output queues, never the chain state, so the
+        one-pump-thread ownership rule still holds."""
+        if self._drainer is not None:
+            return
+
+        def loop() -> None:
+            while True:
+                with self._drain_cv:
+                    while not self._inflight and not self._drain_stop:
+                        self._drain_cv.wait(0.1)
+                    if self._drain_stop and not self._inflight:
+                        return
+                    fed, out = self._inflight.popleft()
+                    self._drain_busy = True
+                    self._drain_cv.notify()
+                origin, pkg8k, vad = out
+                self._scatter(fed, np.asarray(origin)[None],
+                              np.asarray(pkg8k)[None],
+                              np.asarray(vad)[None])
+                with self._drain_cv:
+                    self._drain_busy = False
+                    self._drain_cv.notify_all()
+
+        self._drainer = threading.Thread(target=loop, daemon=True,
+                                         name="wmix-drain")
+        self._drainer.start()
+
+    def stop_drain_thread(self) -> None:
+        if self._drainer is None:
+            return
+        with self._drain_cv:
+            self._drain_stop = True
+            self._drain_cv.notify_all()
+        self._drainer.join()
+        self._drainer = None
+        self._drain_stop = False
 
     def _drain_one(self) -> None:
         fed, (origin, pkg8k, vad) = self._inflight.popleft()
@@ -334,6 +408,12 @@ class StreamServer:
 
     def flush_pipeline(self) -> None:
         """Deliver every in-flight tick (blocking)."""
+        if self._drainer is not None:
+            while True:
+                with self._drain_cv:
+                    if not self._inflight and not self._drain_busy:
+                        return
+                    self._drain_cv.wait(0.005)
         while self._inflight:
             self._drain_one()
 
